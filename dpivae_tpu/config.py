@@ -1,0 +1,156 @@
+"""Typed run configuration.
+
+The reference abuses argparse as a de-facto dataclass (reference
+utils/__init__.py:17-116) and overlays per-case preset dicts onto
+``vars(args)`` (reference 0_single_run.py:39-44). Here the same field names
+and defaults live in a frozen dataclass with an explicit ``with_preset``
+overlay and JSON snapshotting, so every reference preset applies unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional
+
+
+@dataclass(frozen=True)
+class AnnealingConfig:
+    """One annealing schedule spec (ref: utils/__init__.py:76-103)."""
+
+    type: Optional[str] = None  # None | "cyclical" | "sigmoid"
+    n_cycles: int = 5
+    R: float = 0.5
+    mu: float = 0.15
+    cov: float = 0.15
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """All run hyperparameters; names/defaults mirror the reference parser
+    (reference utils/__init__.py:19-116)."""
+
+    name: str = "default"
+    use_seed: bool = False
+    seed: int = 123
+
+    # Models
+    encoder_x: str = "NN"
+    encoder_c: str = "NN"
+    encoder_y: str = "NN"
+    full_cov_prior: bool = False
+    model_type: str = "S"  # "P" | "S" (set by presets)
+    nz_c: int = 2
+    nz_y: int = 2
+
+    # Data, training and validation
+    n_iter: int = 20_000
+    n_train: int = 1024
+    n_val: int = 512
+    n_test: int = 512
+    n_batch: int = 64
+    n_mc_train: int = 16
+    n_mc_val: int = 64
+    n_mc_test: int = 512
+    val_freq: int = 10
+
+    # Disentanglement
+    lambda_g0: float = 1 / 256
+    beta_x0: float = 1.0
+    beta_c0: float = 1.0
+    beta_y0: float = 1.0
+    lambda_x: Optional[float] = None
+    alpha_x: float = 1.0
+    alpha_c: float = 1.0
+    alpha_y: float = 1.0
+
+    # Optimization
+    lr: float = 1e-3
+    lr_e: float = 1e-3
+    lr_ex: float = 1e-3
+    lr_ec: float = 1e-3
+    lr_ey: float = 1e-3
+    lr_p: float = 1e-3
+    lr_dx: float = 1e-3
+    lr_dc: float = 1e-3
+    lr_dy: float = 1e-3
+    lr_sigma: float = 5e-3
+    wd_e: float = 0.0
+    wd_p: float = 0.0
+    wd_dx: float = 0.0
+    wd_dc: float = 0.0
+    wd_dy: float = 0.0
+    wd_sigma: float = 0.0
+    clip_gradients: bool = False
+    max_grad_norm: float = 1.0
+    patience: int = 200
+    min_delta: float = 0.001
+
+    # Annealing (four independent schedules: λ, β_x, β_c, β_y)
+    lambda_annealing: Optional[str] = None
+    lambda_n_cycles: int = 5
+    lambda_R: float = 0.5
+    lambda_mu: float = 0.15
+    lambda_cov: float = 0.15
+    beta_x_annealing: Optional[str] = None
+    beta_x_n_cycles: int = 5
+    beta_x_R: float = 0.5
+    beta_x_mu: float = 0.15
+    beta_x_cov: float = 0.15
+    beta_c_annealing: Optional[str] = None
+    beta_c_n_cycles: int = 5
+    beta_c_R: float = 0.5
+    beta_c_mu: float = 0.15
+    beta_c_cov: float = 0.15
+    beta_y_annealing: Optional[str] = None
+    beta_y_n_cycles: int = 4
+    beta_y_R: float = 0.5
+    beta_y_mu: float = 0.2
+    beta_y_cov: float = 0.2
+
+    # Plotting
+    n_skip_plot_train: int = 0
+    n_skip_plot_val: int = 0
+    n_plot: int = 2000
+    n_interp: int = 5
+
+    # Unused CNN channel params kept for preset compatibility
+    ch_in: int = 1
+    ch_out: int = 16
+    ch_latent: int = 64
+
+    def with_preset(self, preset: Mapping[str, Any]) -> "TrainConfig":
+        """Overlay a case preset dict, mirroring the reference's
+        ``vars(args).update(preset)`` semantics (ref 0_single_run.py:39-44)."""
+        unknown = set(preset) - {f.name for f in dataclasses.fields(self)}
+        if unknown:
+            raise ValueError(f"Unknown preset keys: {sorted(unknown)}")
+        return dataclasses.replace(self, **dict(preset))
+
+    def replace(self, **kwargs: Any) -> "TrainConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def annealing(self, which: str) -> AnnealingConfig:
+        """Bundle the four flat annealing fields for ``which`` in
+        {"lambda", "beta_x", "beta_c", "beta_y"}."""
+        prefix = which
+        return AnnealingConfig(
+            type=getattr(self, f"{prefix}_annealing"),
+            n_cycles=getattr(self, f"{prefix}_n_cycles"),
+            R=getattr(self, f"{prefix}_R"),
+            mu=getattr(self, f"{prefix}_mu"),
+            cov=getattr(self, f"{prefix}_cov"),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainConfig":
+        with open(path) as f:
+            return cls(**json.load(f))

@@ -1,0 +1,168 @@
+"""Minimal jit-safe 1-D distribution library.
+
+The reference leans on ``torch.distributions`` (Uniform, Normal,
+MixtureSameFamily) for ground-truth sampling, fixed priors, and traversal
+bounds (reference utils/priors.py). distrax is not available in this image,
+and the handful of required densities are trivial, so they live here as
+static-shape, jit-compatible pytree-free dataclasses.
+
+All distributions broadcast: parameters may be scalars or arrays and
+``sample``/``log_prob``/``icdf`` follow numpy broadcasting. ``sample`` takes
+an explicit ``jax.random`` key (the reference uses torch's implicit global
+RNG — see SURVEY.md §7 "RNG discipline").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dpivae_tpu.utils import GAUSSIAN_CONST
+
+
+@dataclasses.dataclass(frozen=True)
+class Normal:
+    loc: float
+    scale: float
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        return self.loc + self.scale * jax.random.normal(key, shape)
+
+    def log_prob(self, z):
+        zn = (z - self.loc) / self.scale
+        return -0.5 * zn * zn + GAUSSIAN_CONST - jnp.log(self.scale)
+
+    def icdf(self, u):
+        return self.loc + self.scale * jnp.sqrt(2.0) * jax.scipy.special.erfinv(
+            2.0 * jnp.asarray(u) - 1.0
+        )
+
+    def cdf(self, z):
+        return 0.5 * (1.0 + jax.scipy.special.erf((jnp.asarray(z) - self.loc) / (self.scale * jnp.sqrt(2.0))))
+
+
+@dataclasses.dataclass(frozen=True)
+class Uniform:
+    low: float
+    high: float
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        return jax.random.uniform(
+            key, shape, minval=self.low, maxval=self.high
+        )
+
+    def log_prob(self, z):
+        z = jnp.asarray(z)
+        inside = (z >= self.low) & (z <= self.high)
+        return jnp.where(inside, -jnp.log(jnp.asarray(self.high - self.low)), -jnp.inf)
+
+    def icdf(self, u):
+        return self.low + (self.high - self.low) * jnp.asarray(u)
+
+    def cdf(self, z):
+        return jnp.clip((jnp.asarray(z) - self.low) / (self.high - self.low), 0.0, 1.0)
+
+
+class MarginalDistribution:
+    """Product of independent 1-D distributions over the last axis
+    (ref: utils/priors.py:7-36).
+
+    ``log_prob`` returns the *per-dimension* log density (not summed) to match
+    the reference contract — callers sum over the last axis
+    (ref: models/vae.py:201).
+    """
+
+    def __init__(self, distributions: Sequence):
+        self.distributions = tuple(distributions)
+        self.n_z = len(self.distributions)
+
+    def log_prob(self, z):
+        return jnp.stack(
+            [d.log_prob(z[..., i]) for i, d in enumerate(self.distributions)],
+            axis=-1,
+        )
+
+    def icdf(self, u):
+        u = jnp.atleast_2d(jnp.asarray(u))
+        return jnp.stack(
+            [d.icdf(u[..., i]) for i, d in enumerate(self.distributions)],
+            axis=-1,
+        )
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        keys = jax.random.split(key, self.n_z)
+        return jnp.stack(
+            [d.sample(k, shape) for d, k in zip(self.distributions, keys)],
+            axis=-1,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxUniform:
+    """Independent uniform over a box; ``low``/``high`` are 1-D arrays."""
+
+    low: jnp.ndarray
+    high: jnp.ndarray
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        low = jnp.asarray(self.low)
+        return low + (jnp.asarray(self.high) - low) * jax.random.uniform(
+            key, (*shape, low.shape[-1])
+        )
+
+    def log_prob(self, z):
+        lp = Uniform(self.low, self.high).log_prob(z)
+        return jnp.sum(lp, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformBoxMixture:
+    """Equal-weight mixture of axis-aligned uniform boxes.
+
+    Replaces the reference's ``MixtureSameFamily(Categorical,
+    Independent(Uniform))`` used for the 4-quadrant transfer splits
+    (ref: utils/priors.py:110-111). ``lows``/``highs`` have shape
+    (n_components, n_dims).
+    """
+
+    lows: jnp.ndarray
+    highs: jnp.ndarray
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        k_comp, k_unif = jax.random.split(key)
+        lows = jnp.asarray(self.lows)
+        highs = jnp.asarray(self.highs)
+        n_comp, n_dim = lows.shape
+        comp = jax.random.randint(k_comp, shape, 0, n_comp)
+        u = jax.random.uniform(k_unif, (*shape, n_dim))
+        low = lows[comp]
+        high = highs[comp]
+        return low + (high - low) * u
+
+    def log_prob(self, z):
+        lows = jnp.asarray(self.lows)[:, None, :]
+        highs = jnp.asarray(self.highs)[:, None, :]
+        z = jnp.asarray(z)[None, ...]
+        per_comp = jnp.sum(Uniform(lows, highs).log_prob(z), axis=-1)
+        n_comp = self.lows.shape[0]
+        return jax.scipy.special.logsumexp(per_comp, axis=0) - jnp.log(float(n_comp))
+
+
+_DIST_REGISTRY = {
+    "normal": Normal,
+    "uniform": Uniform,
+}
+
+
+def make_distribution(name: str, **kwargs):
+    """Build a distribution from a declarative spec name.
+
+    Case factor tables use string specs (``{"dist": "uniform", "args":
+    {"low": ..., "high": ...}}``) instead of the reference's direct
+    ``torch.distributions`` class references (ref: cases/simple_beam/
+    __init__.py:25-66), keeping case definitions serializable.
+    """
+    return _DIST_REGISTRY[name.lower()](**kwargs)
