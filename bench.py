@@ -1,0 +1,71 @@
+"""Headline benchmark: fused DPI-VAE training throughput on one TPU chip.
+
+Trains the beam "dpivae" (S) preset at the reference's exact scale — 20,000
+iterations, batch 64, 16 train MC samples, full validation pass (512 points,
+64 MC) every 10 iterations — as one jitted lax.scan program, and reports
+steps/sec of the steady-state (pre-compiled) run.
+
+vs_baseline compares against the measured PyTorch-reference hot loop on this
+image's CPU *including* the same validation cadence (48.2 steps/s; see
+BASELINE.md and benchmarks/torch_baseline.py). The driver-set north star is
+>= 10x (BASELINE.json).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+
+from dpivae_tpu.cases import get_case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.train import setup_model
+from dpivae_tpu.train.train import build_train_fn
+from dpivae_tpu.utils.data import sample_response
+
+TORCH_CPU_BASELINE_STEPS_PER_SEC = 48.19  # see BASELINE.md "Measured"
+
+
+def main():
+    case = get_case("simple_beam")
+    cfg = (
+        TrainConfig()
+        .with_preset(case.presets["dpivae"])
+        .replace(use_seed=True, patience=10**9)  # time all 20k steps
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    data_train = sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist())
+    data_val = sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist())
+    model = setup_model(cfg, case, data_train)
+    train_fn = jax.jit(build_train_fn(cfg, case))
+    params = model.init(jax.random.PRNGKey(1))
+    lam = jax.numpy.asarray(cfg.lambda_g0, jax.numpy.float32)
+    dtr, dva = tuple(data_train[:3]), tuple(data_val[:3])
+
+    # Compile + warm up
+    state, _ = train_fn(params, jax.random.PRNGKey(2), dtr, dva, lam)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    state, logs = train_fn(params, jax.random.PRNGKey(3), dtr, dva, lam)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = cfg.n_iter / dt
+    print(
+        json.dumps(
+            {
+                "metric": "beam_dpivae_train_steps_per_sec",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(
+                    steps_per_sec / TORCH_CPU_BASELINE_STEPS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

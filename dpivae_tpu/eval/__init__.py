@@ -1,0 +1,9 @@
+"""Evaluation: VAE test metrics, sklearn comparison baselines, and the
+disentanglement metric (ref: dpivae.py:527-703)."""
+
+from dpivae_tpu.eval.evaluate import (  # noqa: F401
+    disentanglement_metric,
+    evaluate_model,
+    run_comparison,
+    sample_latents,
+)

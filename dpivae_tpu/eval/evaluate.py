@@ -1,0 +1,175 @@
+"""Evaluation paths (ref: dpivae.py:527-703).
+
+Device/host boundary follows the reference: the VAE produces predictions and
+latents on device (jitted ``model.sample``); sklearn regressors (comparison
+baselines, disentanglement probes) fit on host numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpivae_tpu.cases import Case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.models.vae import DPIVAE
+from dpivae_tpu.utils.jit_cache import cached_sample
+from dpivae_tpu.utils.metrics import regression_metrics
+from dpivae_tpu.utils.transforms import StandardScaler
+
+
+def evaluate_model(
+    config: TrainConfig,
+    case: Case,
+    model: DPIVAE,
+    params: dict,
+    data_test,
+    cond: bool = False,
+    key=None,
+) -> Tuple[Dict[str, dict], Dict[str, np.ndarray]]:
+    """Test-set regression metrics on the posterior-mean ŷ
+    (ref: dpivae.py:527-559)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x_test, c_test, y_test = data_test[0], data_test[1], data_test[2]
+
+    out = cached_sample(
+        model, params, key, x_test, c_test,
+        cond=cond, n=config.n_mc_test, grl_alpha=config.lambda_g0,
+    )
+    y_pred = np.asarray(jnp.mean(out[4], axis=0))
+
+    metrics = regression_metrics(np.asarray(y_test), y_pred)
+    return {config.name: metrics}, {config.name: y_pred}
+
+
+def run_comparison(
+    config: TrainConfig, case: Case, data_train, data_test
+) -> Tuple[Dict[str, dict], Dict[str, np.ndarray]]:
+    """sklearn baselines on standardized [x ‖ c] -> y
+    (ref: dpivae.py:561-615): LinearRegression, GPR(RBF+White), MLP(64,64)."""
+    from sklearn.gaussian_process import GaussianProcessRegressor
+    from sklearn.gaussian_process.kernels import RBF, WhiteKernel
+    from sklearn.linear_model import LinearRegression
+    from sklearn.neural_network import MLPRegressor
+
+    x_train, c_train, y_train = data_train[0], data_train[1], data_train[2]
+    x_test, c_test, y_test = data_test[0], data_test[1], data_test[2]
+
+    assert x_train.shape[0] == config.n_train
+    assert config.n_batch <= config.n_train
+
+    sc_x = StandardScaler.fit(jnp.asarray(x_train))
+    sc_c = StandardScaler.fit(jnp.asarray(c_train))
+
+    def features(x, c):
+        xt, _ = sc_x.forward(jnp.asarray(x))
+        ct, _ = sc_c.forward(jnp.asarray(c))
+        return np.asarray(jnp.concatenate((xt, ct), axis=-1))
+
+    X_train = features(x_train, c_train)
+    X_test = features(x_test, c_test)
+    Y_train = np.asarray(y_train)
+    Y_test = np.asarray(y_test)
+    if Y_train.shape[-1] == 1:
+        Y_train = Y_train[:, 0]
+
+    regressors = {
+        "LIN": LinearRegression(),
+        "GPR": GaussianProcessRegressor(RBF() + WhiteKernel()),
+        "MLP": MLPRegressor(hidden_layer_sizes=(64, 64), max_iter=10000),
+    }
+
+    dict_pred, dict_metrics = {}, {}
+    for name, rgr in regressors.items():
+        rgr.fit(X_train, Y_train)
+        pred = np.asarray(rgr.predict(X_test))
+        if pred.ndim == 1:
+            pred = pred[:, None]
+        dict_pred[name] = pred
+        dict_metrics[name] = regression_metrics(Y_test, pred)
+    return dict_metrics, dict_pred
+
+
+def sample_latents(
+    config: TrainConfig,
+    model: DPIVAE,
+    params: dict,
+    x,
+    c,
+    cond: bool = False,
+    n: int = 1,
+    key=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Posterior latents (z_x, z_c, z_y), MC-averaged, as host numpy."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    out = cached_sample(
+        model, params, key, x, c, cond=cond, n=n, grl_alpha=config.lambda_g0
+    )
+    zx, zc, zy = out[5], out[6], out[7]
+    return (
+        np.asarray(jnp.mean(zx, axis=0)),
+        np.asarray(jnp.mean(zc, axis=0)),
+        np.asarray(jnp.mean(zy, axis=0)),
+    )
+
+
+def disentanglement_metric(
+    config: TrainConfig,
+    model: DPIVAE,
+    params: dict,
+    case: Case,
+    data_train,
+    data_test,
+    regressor: str = "linear",
+    cond: bool = False,
+    use_mean: bool = False,
+    key=None,
+) -> List[list]:
+    """The paper's disentanglement score (ref: dpivae.py:618-703).
+
+    For every ground-truth factor, fit a regressor from each latent block
+    (z_x, z_c, z_y) to the factor and record the test R². Returns rows
+    ``[block, factor, score]``.
+    """
+    from sklearn.linear_model import LinearRegression
+    from sklearn.neural_network import MLPRegressor
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    n = config.n_mc_test if use_mean else 1
+
+    x_train, c_train, z_train = data_train[0], data_train[1], data_train[3]
+    x_test, c_test, z_test = data_test[0], data_test[1], data_test[3]
+
+    zx_tr, zc_tr, zy_tr = sample_latents(
+        config, model, params, x_train, c_train, cond=cond, n=n, key=k1
+    )
+    zx_te, zc_te, zy_te = sample_latents(
+        config, model, params, x_test, c_test, cond=cond, n=n, key=k2
+    )
+    z_train = np.asarray(z_train)
+    z_test = np.asarray(z_test)
+
+    def make_regressor():
+        if regressor == "linear":
+            return LinearRegression()
+        if regressor == "mlp":
+            return MLPRegressor(hidden_layer_sizes=(128, 128), max_iter=20000)
+        raise ValueError(f"Unknown regressor type {regressor}")
+
+    rows = []
+    for i, factor in enumerate(case.factors):
+        for block_name, z_tr, z_te in (
+            ("zx", zx_tr, zx_te),
+            ("zc", zc_tr, zc_te),
+            ("zy", zy_tr, zy_te),
+        ):
+            rgr = make_regressor().fit(z_tr, z_train[:, i])
+            rows.append([block_name, factor.name, rgr.score(z_te, z_test[:, i])])
+    return rows

@@ -1,0 +1,122 @@
+"""Mesh construction and sharded training-step builders.
+
+Pure jax.sharding recipe: pick a mesh, annotate in/out shardings, let XLA
+insert the collectives (scaling-book style). No NCCL/MPI translation — the
+reference has no distributed layer to translate (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpivae_tpu.cases import Case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.models.vae import DPIVAE
+from dpivae_tpu.train.optim import make_optimizer
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axes: Sequence[str] = ("dp",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    With one axis the mesh is 1-D over all requested devices; pass ``shape``
+    to factorize (e.g. axes=("sweep", "dp"), shape=(2, 4)).
+    """
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    if shape is None:
+        shape = (len(devices),) if len(axes) == 1 else None
+    if shape is None:
+        raise ValueError("shape required for multi-axis meshes")
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"shape {shape} does not cover {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
+    """Place arrays with their leading (batch) dim sharded over ``axis``."""
+    return jax.tree.map(
+        lambda a: jax.device_put(
+            jnp.asarray(a),
+            NamedSharding(mesh, P(axis, *([None] * (jnp.ndim(a) - 1)))),
+        ),
+        batch,
+    )
+
+
+def replicated(mesh: Mesh, tree):
+    """Place a pytree fully replicated over the mesh."""
+    return jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P())),
+        tree,
+    )
+
+
+def sharded_train_step(
+    config: TrainConfig,
+    model: DPIVAE,
+    case: Case,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+):
+    """Build a data-parallel jitted train step over ``mesh``.
+
+    Batch arrives sharded over ``dp_axis``; params/optimizer state are
+    replicated. The loss sums over the (global) batch, so XLA derives the
+    cross-chip grad all-reduce from the sharding annotations.
+
+    Returns (step_fn, init_fn):
+        step_fn(params, opt_state, key, batch, step_idx) -> (params, opt_state, metrics)
+        init_fn(params) -> opt_state
+    """
+    tx, _ = make_optimizer(config, model.init(jax.random.PRNGKey(0)))
+    denom = config.n_batch * (case.nd_x + case.nd_y + case.nd_c)
+
+    def loss_fn(params, key, batch, grl_alpha):
+        x, c, y = batch
+        loss, *_ = model.loss(
+            params,
+            key,
+            x,
+            c,
+            y,
+            n=config.n_mc_train,
+            grl_alpha=grl_alpha,
+            alpha_x=config.alpha_x,
+            alpha_c=config.alpha_c,
+            alpha_y=config.alpha_y,
+        )
+        return jnp.sum(loss) / denom
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(dp_axis))
+
+    @jax.jit
+    def step_fn(params, opt_state, key, batch, grl_alpha):
+        value, grads = grad_fn(params, key, batch, grl_alpha)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, value
+
+    def init_fn(params):
+        return replicated(mesh, tx.init(params))
+
+    def place(params, batch):
+        return (
+            replicated(mesh, params),
+            jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), data_sh), batch
+            ),
+        )
+
+    del rep
+    return step_fn, init_fn, place

@@ -1,0 +1,128 @@
+"""Model assembly (ref: dpivae.py:89-283).
+
+``setup_model`` wires the DPIVAE from a config + case definition + training
+data: fits input StandardScalers, builds the fixed z_x prior and the encoder
+output squash (Logistic -> ShiftScale into the prior bounds), and selects the
+P (three per-block encoders) or S (single joint encoder with masked squash)
+architecture.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpivae_tpu.cases import Case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.models.vae import DPIVAE
+from dpivae_tpu.utils.transforms import (
+    Chain,
+    Logistic,
+    MaskedChain,
+    ShiftScale,
+    StandardScaler,
+)
+
+
+def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
+    """Assemble the DPIVAE model configuration.
+
+    Args:
+        config: run hyperparameters (possibly preset-overlaid).
+        case: the case study definition.
+        data_train: (x, c, y[, z]) training arrays; scalers are fitted on
+            these (ref: dpivae.py:141-146).
+
+    Returns:
+        A ``DPIVAE`` config object; call ``.init(key)`` for params.
+    """
+    x_train, c_train, y_train = data_train[0], data_train[1], data_train[2]
+
+    if x_train.shape[0] != config.n_train:
+        raise ValueError(
+            f"n_train={config.n_train} but x_train has {x_train.shape[0]} rows"
+        )
+    if config.n_batch > config.n_train:
+        raise ValueError("n_batch must be <= n_train")
+    # Prior-dimension consistency (ref: dpivae.py:129-130)
+    if case.nz_x != len(case.prior_x):
+        raise ValueError("Prior distribution dimension mismatch with ground truth")
+    if config.encoder_x != "NN":
+        raise ValueError(f"Unknown encoder x choice: {config.encoder_x}")
+
+    # Input scalers fitted on the training set
+    transform_x = StandardScaler.fit(jnp.asarray(x_train))
+    transform_c = StandardScaler.fit(jnp.asarray(c_train))
+    transform_y = StandardScaler.fit(jnp.asarray(y_train))
+
+    # Encoder output squash: z in R -> Logistic (0,1) -> ShiftScale [lb, ub]
+    # from the z_x prior bounds (ref: dpivae.py:180-187)
+    lb = jnp.asarray([p.lb for p in case.prior_x], jnp.float32)
+    ub = jnp.asarray([p.ub for p in case.prior_x], jnp.float32)
+    squash = Chain(Logistic(k=1.0), ShiftScale(lb, ub))
+
+    if config.model_type == "P":
+        output_transform_zx = squash
+    elif config.model_type == "S":
+        # Squash only the z_x slice of the joint latent
+        # (ref: dpivae.py:236-238). The x-type factors occupy the leading
+        # indices by case convention; assert rather than assume.
+        z_idx_x = case.z_idx_x
+        if tuple(z_idx_x) != tuple(range(case.nz_x)):
+            raise ValueError(
+                "S model expects x-type factors first in the factor table"
+            )
+        output_transform_zx = MaskedChain(z_idx_x, Logistic(k=1.0), ShiftScale(lb, ub))
+    else:
+        raise ValueError(f"Unknown model type {config.model_type}")
+
+    return DPIVAE(
+        prior_x=case.prior_x_dist(),
+        physics_model=case.part_model,
+        nz_x=case.nz_x,
+        nz_c=config.nz_c,
+        nz_y=config.nz_y,
+        nd_x=case.nd_x,
+        nd_c=case.nd_c,
+        nd_y=case.nd_y,
+        idx_c_phys=case.idx_c_phys,
+        model_type=config.model_type,
+        full_cov_prior=config.full_cov_prior,
+        lambda_x=config.lambda_x,
+        transform_x=transform_x,
+        transform_c=transform_c,
+        transform_y=transform_y,
+        output_transform_zx=output_transform_zx,
+    )
+
+
+def make_template_model(config: TrainConfig, case: Case) -> DPIVAE:
+    """A DPIVAE with unfitted input transforms — sufficient for ``init``
+    (parameter shapes depend only on dims) and optimizer labeling. Sweeps
+    use this to initialize members; the loss path re-derives the fitted
+    model from each member's traced data."""
+    dummy = (
+        np.zeros((config.n_train, case.nd_x), np.float32),
+        np.zeros((config.n_train, case.nd_c), np.float32) ,
+        np.zeros((config.n_train, case.nd_y), np.float32),
+    )
+    model = setup_model(config, case, dummy)
+    # Fitted-on-zeros scalers are degenerate; drop them so misuse fails loud
+    return model.__class__(
+        **{
+            **model.__dict__,
+            "transform_x": None,
+            "transform_c": None,
+            "transform_y": None,
+        }
+    )
+
+
+def init_params(config: TrainConfig, model: DPIVAE, key=None) -> dict:
+    """Initialize params, honoring the reference's opt-in seeding
+    (ref: dpivae.py:94-95)."""
+    if key is None:
+        seed = config.seed if config.use_seed else np.random.randint(0, 2**31 - 1)
+        key = jax.random.PRNGKey(seed)
+    return model.init(key)

@@ -1,0 +1,311 @@
+"""Fused on-device training (ref: dpivae.py:285-524).
+
+The reference hot loop is a Python for-loop doing host-side batch sampling,
+13 logger calls, and a tqdm update per iteration (SURVEY.md §3.2). Here the
+*entire* training — batch sampling, annealing, forward/backward, Adam step,
+validation every ``val_freq`` iters, early stopping — compiles to a single
+XLA program:
+
+    outer lax.scan over validation blocks
+      inner lax.scan over the val_freq train steps of the block
+      + one validation pass + early-stop state transition per block
+
+ordered as the reference does it (validate right after the train step at
+iters ≡ 0 mod val_freq, then continue the block). Early stopping cannot
+break a scan; instead the train state freezes once stopped (mask-based, also
+the right semantics for vmapped sweep members that stop at different times)
+and per-step ``active`` masks mark which log rows are real.
+
+Datasets and the GRL strength ``lambda_g0`` are *traced arguments* of the
+returned train function (input scalers are re-fitted from the traced data,
+exactly as the reference's setup does per run, dpivae.py:141-146). This
+makes one compiled program servable across sweep members: ``jax.vmap`` over
+stacked (params, keys, datasets, lambdas) turns N serial trainings into one
+batched training (SURVEY.md §5).
+
+Metric rows use the reference's CSV column names so downstream plotting
+keeps its contract (SURVEY.md §5 observability).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpivae_tpu.cases import Case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.train.optim import make_optimizer
+from dpivae_tpu.train.setup import setup_model
+from dpivae_tpu.utils.annealing import make_schedule
+from dpivae_tpu.utils.early_stopping import (
+    EarlyStopState,
+    early_stop_init,
+    early_stop_update,
+)
+
+TRAIN_COLUMNS = (
+    "ELBO", "KLx", "KLc", "KLy", "Rx", "Rc", "Ry", "reg",
+    "lambda_x", "beta_x", "beta_c", "beta_y", "sigma_x",
+)
+VAL_COLUMNS = (
+    "ELBO_val", "KLx_val", "KLc_val", "KLy_val",
+    "Rx_val", "Rc_val", "Ry_val", "reg_val",
+)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    es: EarlyStopState
+    key: jax.Array
+
+
+class TrainLogs(NamedTuple):
+    """On-device metric log arrays.
+
+    train: (n_steps, 13) rows in TRAIN_COLUMNS order.
+    val: (n_blocks, 8) rows in VAL_COLUMNS order.
+    train_active / val_active: bool masks (False once early-stopped).
+    """
+
+    train: jnp.ndarray
+    val: jnp.ndarray
+    train_active: jnp.ndarray
+    val_active: jnp.ndarray
+    val_iters: jnp.ndarray
+
+    def scalars(self, name: str):
+        """(iters, values) for a named series, truncated to active rows —
+        the reference logger's read-back contract (ref: utils/loss.py:1-4)."""
+        if name in TRAIN_COLUMNS:
+            col = TRAIN_COLUMNS.index(name)
+            mask = np.asarray(self.train_active)
+            vals = np.asarray(self.train[:, col])[mask]
+            iters = np.arange(self.train.shape[0])[mask]
+        elif name in VAL_COLUMNS:
+            col = VAL_COLUMNS.index(name)
+            mask = np.asarray(self.val_active)
+            vals = np.asarray(self.val[:, col])[mask]
+            iters = np.asarray(self.val_iters)[mask]
+        else:
+            raise KeyError(name)
+        return iters, vals
+
+    @property
+    def stop_iter(self) -> int:
+        """Last active training iteration + 1 (== n_iter if never stopped)."""
+        mask = np.asarray(self.train_active)
+        return int(mask.sum())
+
+
+def _tree_select(flag, new_tree, old_tree):
+    """Leafwise ``flag ? new : old`` (freeze-when-stopped masking)."""
+    return jax.tree.map(lambda n, o: jnp.where(flag, n, o), new_tree, old_tree)
+
+
+def build_train_fn(config: TrainConfig, case: Case):
+    """Build the full-training function.
+
+    Returns ``train_fn(params, key, data_train, data_val, lambda_g0)
+    -> (TrainState, TrainLogs)``, pure and jit/vmap-ready:
+
+    - ``data_train``/``data_val`` are (x, c, y) tuples (extra entries
+      ignored); input scalers are fitted from them inside the trace.
+    - ``lambda_g0`` is the GRL strength (a traced scalar so λ-sweeps can
+      vmap over it; pass ``config.lambda_g0`` for single runs).
+    """
+    n_iter = config.n_iter
+    vf = config.val_freq
+    n_blocks = -(-n_iter // vf)  # ceil
+    denom = config.n_batch * (case.nd_x + case.nd_y + case.nd_c)
+    denom_val = config.n_val * (case.nd_x + case.nd_y + case.nd_c)
+
+    lambda_sched = make_schedule(config.annealing("lambda"), n_iter)
+    beta_x_sched = make_schedule(config.annealing("beta_x"), n_iter)
+    beta_c_sched = make_schedule(config.annealing("beta_c"), n_iter)
+    beta_y_sched = make_schedule(config.annealing("beta_y"), n_iter)
+
+    def train_fn(params, key, data_train, data_val, lambda_g0):
+        x_train = jnp.asarray(data_train[0])
+        c_train = jnp.asarray(data_train[1])
+        y_train = jnp.asarray(data_train[2])
+        x_val = jnp.asarray(data_val[0])
+        c_val = jnp.asarray(data_val[1])
+        y_val = jnp.asarray(data_val[2])
+
+        # Assemble the model with scalers fitted on (traced) train data
+        model = setup_model(config, case, (x_train, c_train, y_train))
+        tx, _ = make_optimizer(config, params)
+
+        def schedules(step):
+            """Annealed multipliers at a (traced) iteration index
+            (ref: dpivae.py:394-400)."""
+            lam = lambda_sched(step) * lambda_g0
+            return (
+                lam,
+                config.beta_x0 * beta_x_sched(step),
+                config.beta_c0 * beta_c_sched(step),
+                config.beta_y0 * beta_y_sched(step),
+            )
+
+        def normalized_loss(p, k, x, c, y, n_mc, betas, denominator, n_points):
+            lam, bx, bc, by = betas
+            loss, KLx, KLc, KLy, Rx, Rc, Ry, reg = model.loss(
+                p, k, x, c, y,
+                n=n_mc,
+                beta_x=bx, beta_c=bc, beta_y=by,
+                alpha_x=config.alpha_x,
+                alpha_c=config.alpha_c,
+                alpha_y=config.alpha_y,
+                grl_alpha=lam,
+            )
+            # Normalization (ref: dpivae.py:419-426)
+            scalar = jnp.sum(loss) / denominator
+            comps = jnp.stack(
+                [
+                    scalar,
+                    jnp.sum(KLx) / n_points,
+                    jnp.sum(KLc) / n_points,
+                    jnp.sum(KLy) / n_points,
+                    jnp.sum(Rx) / n_points,
+                    jnp.sum(Rc) / n_points,
+                    jnp.sum(Ry) / n_points,
+                    jnp.sum(reg) / n_points,
+                ]
+            )
+            return scalar, comps
+
+        loss_grad = jax.value_and_grad(normalized_loss, has_aux=True)
+
+        def train_step(state: TrainState, step_idx):
+            key, k_batch, k_mc = jax.random.split(state.key, 3)
+            betas = schedules(step_idx)
+
+            # Uniform batch without replacement (ref: dpivae.py:403-404)
+            idx = jax.random.choice(
+                k_batch, config.n_train, (config.n_batch,), replace=False
+            )
+            x_i, c_i, y_i = x_train[idx], c_train[idx], y_train[idx]
+
+            (_, comps), grads = loss_grad(
+                state.params, k_mc, x_i, c_i, y_i, config.n_mc_train, betas,
+                denom, config.n_batch,
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+            # Freeze once early-stopped; pad steps past n_iter also inactive
+            active = jnp.logical_and(~state.es.stopped, step_idx < n_iter)
+            new_state = TrainState(
+                params=_tree_select(active, new_params, state.params),
+                opt_state=_tree_select(active, new_opt_state, state.opt_state),
+                es=state.es,
+                key=key,
+            )
+            lam, bx, bc, by = betas
+            row = jnp.concatenate(
+                [
+                    comps,
+                    jnp.stack(
+                        [lam, bx, bc, by,
+                         jnp.exp(new_state.params["log_sigma_x"])]
+                    ),
+                ]
+            )
+            return new_state, (row, active)
+
+        def val_step(state: TrainState, step_idx):
+            key, k_mc = jax.random.split(state.key)
+            betas = schedules(step_idx)
+            _, comps = normalized_loss(
+                state.params, k_mc, x_val, c_val, y_val, config.n_mc_val,
+                betas, denom_val, config.n_val,
+            )
+            es = early_stop_update(
+                state.es, comps[0], config.patience, config.min_delta
+            )
+            return state._replace(es=es, key=key), comps
+
+        def block(state: TrainState, block_idx):
+            """One validation block: step, validate, remaining vf-1 steps
+            (matches the reference ordering — validation happens right after
+            the train step at iters ≡ 0 mod val_freq, ref: dpivae.py:454)."""
+            start = block_idx * vf
+            state, (row0, active0) = train_step(state, start)
+            val_active = jnp.logical_and(~state.es.stopped, start < n_iter)
+            state, val_row = val_step(state, start)
+            state, (rows, actives) = jax.lax.scan(
+                train_step, state, start + 1 + jnp.arange(vf - 1)
+            )
+            block_rows = jnp.concatenate([row0[None], rows], axis=0)
+            block_active = jnp.concatenate([active0[None], actives], axis=0)
+            return state, (block_rows, block_active, val_row, val_active)
+
+        state = TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            es=early_stop_init(),
+            key=key,
+        )
+        state, (rows, actives, val_rows, val_actives) = jax.lax.scan(
+            block, state, jnp.arange(n_blocks)
+        )
+        logs = TrainLogs(
+            train=rows.reshape(n_blocks * vf, len(TRAIN_COLUMNS))[:n_iter],
+            val=val_rows,
+            train_active=actives.reshape(n_blocks * vf)[:n_iter],
+            val_active=val_actives,
+            val_iters=jnp.arange(n_blocks) * vf,
+        )
+        return state, logs
+
+    return train_fn
+
+
+# Cache of jitted train functions keyed by (config, case-name) so repeated
+# train_model calls (e.g. in scripts running several presets) reuse the
+# compiled program.
+_TRAIN_FN_CACHE: dict = {}
+
+
+def get_train_fn(config: TrainConfig, case: Case):
+    cache_key = (config, case.name)
+    if cache_key not in _TRAIN_FN_CACHE:
+        _TRAIN_FN_CACHE[cache_key] = jax.jit(build_train_fn(config, case))
+    return _TRAIN_FN_CACHE[cache_key]
+
+
+def train_model(
+    config: TrainConfig,
+    model,
+    case: Case,
+    data_train,
+    data_val,
+    params: Optional[dict] = None,
+    key=None,
+) -> Tuple[dict, TrainLogs]:
+    """Train a DPIVAE end-to-end on device (ref: dpivae.py:285-524).
+
+    ``model`` is the DPIVAE from ``setup_model`` (used for initialization;
+    the loss path re-derives it from the traced data). Returns
+    (trained params, logs).
+    """
+    if key is None:
+        seed = config.seed if config.use_seed else np.random.randint(2**31 - 1)
+        key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+    if params is None:
+        params = model.init(k_init)
+
+    train_fn = get_train_fn(config, case)
+    state, logs = train_fn(
+        params,
+        k_train,
+        tuple(data_train[:3]),
+        tuple(data_val[:3]),
+        jnp.asarray(config.lambda_g0, jnp.float32),
+    )
+    return state.params, logs

@@ -1,0 +1,66 @@
+"""Metric logging: on-device log arrays -> host CSV files.
+
+The reference logs 21 scalar series through torchrl's CSVLogger and reads
+them back from its in-memory store for plotting (SURVEY.md §5). Here metrics
+accumulate *on device* inside the fused training scan (train.TrainLogs); this
+module persists them with the same column names, one CSV per series plus
+combined train/val tables, so the reference's observability contract
+survives without a per-iteration host round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from dpivae_tpu.train.train import TRAIN_COLUMNS, VAL_COLUMNS, TrainLogs
+
+
+def save_logs_csv(logs: TrainLogs, path_metrics: str) -> None:
+    """Write per-series CSVs (``<name>.csv`` with iter,value rows) and
+    combined ``train.csv``/``val.csv`` tables under ``path_metrics``."""
+    os.makedirs(path_metrics, exist_ok=True)
+
+    train = np.asarray(logs.train)
+    val = np.asarray(logs.val)
+    t_mask = np.asarray(logs.train_active)
+    v_mask = np.asarray(logs.val_active)
+    t_iters = np.arange(train.shape[0])[t_mask]
+    v_iters = np.asarray(logs.val_iters)[v_mask]
+
+    header = "iter," + ",".join(TRAIN_COLUMNS)
+    np.savetxt(
+        os.path.join(path_metrics, "train.csv"),
+        np.column_stack([t_iters, train[t_mask]]),
+        delimiter=",",
+        header=header,
+        comments="",
+    )
+    header = "iter," + ",".join(VAL_COLUMNS)
+    np.savetxt(
+        os.path.join(path_metrics, "val.csv"),
+        np.column_stack([v_iters, val[v_mask]]),
+        delimiter=",",
+        header=header,
+        comments="",
+    )
+
+    for name in TRAIN_COLUMNS + VAL_COLUMNS:
+        iters, vals = logs.scalars(name)
+        np.savetxt(
+            os.path.join(path_metrics, f"{name}.csv"),
+            np.column_stack([iters, vals]),
+            delimiter=",",
+            header="iter,value",
+            comments="",
+        )
+
+
+def load_series_csv(path_metrics: str, name: str):
+    """(iters, values) from a saved series CSV."""
+    data = np.loadtxt(
+        os.path.join(path_metrics, f"{name}.csv"), delimiter=",", skiprows=1,
+        ndmin=2,
+    )
+    return data[:, 0].astype(int), data[:, 1]

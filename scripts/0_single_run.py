@@ -1,0 +1,154 @@
+"""Single train+eval run with the full plotting suite
+(ref: 0_single_run.py).
+
+Unlike the reference (which is configured by editing in-file variables,
+ref 0_single_run.py:25-27), this is a real CLI:
+
+    python scripts/0_single_run.py --case simple_beam --preset dpivae \
+        [--name single_run] [--n_iter 20000] [--cond] [--no-plots]
+
+Outputs mirror the reference layout: output/<name>/{metrics,figures,
+settings,models} with args.json, per-series metric CSVs, the figure set,
+and (as a framework improvement over the reference, which never saves
+weights) an orbax checkpoint of the trained params.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--case", default="simple_beam")
+    parser.add_argument("--preset", default="dpivae")
+    parser.add_argument("--name", default="single_run")
+    parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--cond", action="store_true")
+    parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--output", default="output")
+    args = parser.parse_args()
+
+    from dpivae_tpu.cases import get_case
+    from dpivae_tpu.config import TrainConfig
+    from dpivae_tpu.eval import evaluate_model, run_comparison
+    from dpivae_tpu.train import setup_model, train_model
+    from dpivae_tpu.train.checkpoint import save_checkpoint
+    from dpivae_tpu.utils.data import sample_response
+    from dpivae_tpu.utils.logging import save_logs_csv
+
+    case = get_case(args.case)
+    cfg = TrainConfig().with_preset(case.presets[args.preset])
+    cfg = cfg.replace(name=args.name, use_seed=True)
+    if args.n_iter is not None:
+        cfg = cfg.replace(n_iter=args.n_iter)
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
+
+    # Output layout (ref: 0_single_run.py:47-64)
+    path_output = os.path.join(args.output, args.name)
+    paths = {
+        sub: os.path.join(path_output, sub)
+        for sub in ("metrics", "figures", "settings", "models")
+    }
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+    cfg.save_json(os.path.join(paths["settings"], "args.json"))
+
+    # Data (ref: 0_single_run.py:72-91)
+    dist_gt = case.gt_dist()
+    key = jax.random.PRNGKey(cfg.seed)
+    k_tr, k_va, k_te, k_fit = jax.random.split(key, 4)
+    data_train = sample_response(case, k_tr, cfg.n_train, sample_dist=dist_gt)
+    data_val = sample_response(case, k_va, cfg.n_val, sample_dist=dist_gt)
+    data_test = sample_response(case, k_te, cfg.n_test, sample_dist=dist_gt)
+
+    # Train (ref: 0_single_run.py:96-98)
+    model = setup_model(cfg, case, data_train)
+    print(f"Training {args.case}/{args.preset} for {cfg.n_iter} iters ...")
+    params, logs = train_model(cfg, model, case, data_train, data_val, key=k_fit)
+    print(f"Done: stopped at iter {logs.stop_iter}, "
+          f"final train ELBO {logs.scalars('ELBO')[1][-1]:.4f}, "
+          f"final val ELBO {logs.scalars('ELBO_val')[1][-1]:.4f}")
+
+    save_logs_csv(logs, paths["metrics"])
+    save_checkpoint(os.path.join(paths["models"], "params"), params, config=cfg)
+
+    # Evaluation (ref: 0_single_run.py:115-131)
+    dict_metrics, dict_pred = run_comparison(cfg, case, data_train, data_test)
+    vae_metrics, vae_pred = evaluate_model(
+        cfg, case, model, params, data_test, cond=args.cond
+    )
+    dict_metrics.update(vae_metrics)
+    dict_pred.update(vae_pred)
+    for name, m in dict_metrics.items():
+        print(f"{name}: R2={np.round(m['R2'], 4)} MSE={np.round(m['MSE'], 5)}")
+
+    if args.no_plots:
+        return
+
+    from dpivae_tpu.viz import (
+        plot_ground_truth_posterior,
+        plot_interp_pred,
+        plot_marginal_post,
+        plot_marginal_prior,
+        plot_pred,
+        plot_regression_error,
+        save_close_fig,
+        visualize_training_loss,
+    )
+
+    fig_dir = paths["figures"]
+    y_test = np.asarray(data_test[2])
+
+    fig, _ = visualize_training_loss(
+        logs, n_skip_train=cfg.n_skip_plot_train, n_skip_val=cfg.n_skip_plot_val
+    )
+    save_close_fig(fig, os.path.join(fig_dir, "loss_curve.png"))
+
+    for name, pred in dict_pred.items():
+        fig, _ = plot_regression_error(
+            y_test, pred, case, metrics=dict_metrics[name], title=f"{name}: Test"
+        )
+        save_close_fig(
+            fig, os.path.join(fig_dir, f"regression_error_test_{name}.png")
+        )
+
+    # Traversal prediction plots per factor (ref: 0_single_run.py:137-143)
+    for idx in range(len(case.factors)):
+        fig, _ = plot_pred(model, params, cfg, case, idx, cond=args.cond,
+                           n_plot=cfg.n_plot)
+        save_close_fig(fig, os.path.join(fig_dir, f"fig_pred_x_{idx}.png"))
+
+    # Interpolation / marginal plots (ref: 0_single_run.py:145-192)
+    fig, _ = plot_interp_pred(model, params, cfg, case, cond=args.cond,
+                              n_plot=cfg.n_plot)
+    save_close_fig(fig, os.path.join(fig_dir, "fig_pred_interp_x.png"))
+
+    fig, _ = plot_marginal_post(model, params, cfg, case, cond=args.cond,
+                                n_plot=cfg.n_plot)
+    save_close_fig(fig, os.path.join(fig_dir, "fig_post_marginal_z.png"))
+
+    fig, _ = plot_marginal_post(model, params, cfg, case, vars_interp=[0, 1],
+                                cond=args.cond, n_plot=cfg.n_plot)
+    save_close_fig(fig, os.path.join(fig_dir, "fig_post_marginal_z_01.png"))
+
+    fig, _ = plot_marginal_prior(model, params, cfg, case, n_plot=cfg.n_plot)
+    save_close_fig(fig, os.path.join(fig_dir, "fig_prior_marginal_z.png"))
+
+    # Aggregated posterior vs ground truth (ref: 0_single_run.py:194-202)
+    fig = plot_ground_truth_posterior(
+        model, params, cfg, case, dist_gt, n_plot=cfg.n_plot, cond=args.cond
+    )
+    save_close_fig(fig, os.path.join(fig_dir, "fig_posterior_ground_truth.png"))
+    print(f"Figures written to {fig_dir}")
+
+
+if __name__ == "__main__":
+    main()

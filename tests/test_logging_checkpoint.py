@@ -1,0 +1,53 @@
+"""CSV logging round-trip and orbax checkpoint save/restore."""
+
+import jax
+import numpy as np
+
+from dpivae_tpu.cases import get_case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.train import setup_model, train_model
+from dpivae_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_config,
+    save_checkpoint,
+)
+from dpivae_tpu.utils.data import sample_response
+from dpivae_tpu.utils.logging import load_series_csv, save_logs_csv
+
+
+def _train_tiny():
+    case = get_case("simple_beam")
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=64, n_val=32, n_batch=16, n_iter=20, val_freq=10,
+        n_mc_train=2, n_mc_val=2, use_seed=True,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    dtr = sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist())
+    dva = sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist())
+    model = setup_model(cfg, case, dtr)
+    params, logs = train_model(cfg, model, case, dtr, dva, key=jax.random.PRNGKey(1))
+    return cfg, params, logs
+
+
+def test_csv_roundtrip(tmp_path):
+    cfg, params, logs = _train_tiny()
+    save_logs_csv(logs, str(tmp_path))
+    iters, vals = load_series_csv(str(tmp_path), "ELBO")
+    np.testing.assert_array_equal(iters, np.arange(20))
+    np.testing.assert_allclose(vals, np.asarray(logs.train[:, 0]), rtol=1e-6)
+    v_iters, v_vals = load_series_csv(str(tmp_path), "ELBO_val")
+    np.testing.assert_array_equal(v_iters, [0, 10])
+    # combined tables exist
+    assert (tmp_path / "train.csv").exists()
+    assert (tmp_path / "val.csv").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, params, _ = _train_tiny()
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, config=cfg)
+    restored = load_checkpoint(path, like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    cfg2 = load_checkpoint_config(path)
+    assert cfg2 == cfg

@@ -1,0 +1,83 @@
+"""Sweep (vmap/mesh-batched training) and multi-chip sharding tests.
+
+Runs on the virtual 8-device CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpivae_tpu.cases import get_case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.parallel import make_mesh
+from dpivae_tpu.sweep import train_sweep
+
+
+def _cfg(case, **over):
+    defaults = dict(
+        n_train=64,
+        n_val=32,
+        n_batch=16,
+        n_iter=20,
+        val_freq=10,
+        n_mc_train=2,
+        n_mc_val=4,
+        use_seed=True,
+    )
+    defaults.update(over)
+    return TrainConfig().with_preset(case.presets["dpivae"]).replace(**defaults)
+
+
+def test_sweep_vmap_members_differ():
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    res = train_sweep(cfg, case, lambdas=[1 / 256, -1.0], n_runs=2)
+    assert res.n_members == 4
+    # member ordering is lambda-major
+    np.testing.assert_allclose(
+        np.asarray(res.lambdas), [1 / 256, 1 / 256, -1.0, -1.0], rtol=1e-6
+    )
+    # different seeds/lambdas -> different trained params
+    p0 = jax.tree.leaves(res.member_params(0))[0]
+    p1 = jax.tree.leaves(res.member_params(1))[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # per-member logs finite
+    logs = res.member_logs(0)
+    assert logs.train.shape == (20, 13)
+    assert np.all(np.isfinite(np.asarray(logs.train)))
+
+
+def test_sweep_on_mesh():
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    mesh = make_mesh(8, axes=("sweep",))
+    res = train_sweep(
+        cfg, case, lambdas=[1 / 256] * 3, n_runs=2, mesh=mesh
+    )  # 6 members padded to 8, trimmed back
+    assert res.n_members == 6
+    assert np.all(np.isfinite(np.asarray(res.logs.train)))
+
+
+def test_sweep_mesh_matches_unsharded():
+    """Sharding must not change results: same keys, same members."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(7)
+    res_a = train_sweep(cfg, case, lambdas=[1 / 256, -1.0], n_runs=1, key=key)
+    mesh = make_mesh(2, axes=("sweep",))
+    res_b = train_sweep(
+        cfg, case, lambdas=[1 / 256, -1.0], n_runs=1, key=key, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.logs.train),
+        np.asarray(res_b.logs.train),
+        rtol=2e-3, atol=1e-4,
+    )
+
+
+def test_graft_entry_single_and_multichip():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    loss, _ = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    graft.dryrun_multichip(8)
