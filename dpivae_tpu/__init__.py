@@ -42,4 +42,15 @@ _jax.config.update(
     _os.environ.get("DPIVAE_MATMUL_PRECISION", "highest"),
 )
 
+# Persistent XLA compilation cache: the fused training scans compile in
+# tens of seconds (remote-compiled on the TPU tunnel); caching makes every
+# rerun of a script/benchmark start instantly. Opt out with
+# DPIVAE_COMPILATION_CACHE=0 or redirect with DPIVAE_COMPILATION_CACHE=<dir>.
+_cache = _os.environ.get("DPIVAE_COMPILATION_CACHE", "~/.cache/dpivae_tpu_xla")
+if _cache not in ("0", "", "off"):
+    _cache = _os.path.expanduser(_cache)
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from dpivae_tpu.config import TrainConfig  # noqa: F401

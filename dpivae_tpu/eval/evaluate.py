@@ -21,6 +21,23 @@ from dpivae_tpu.utils.metrics import regression_metrics
 from dpivae_tpu.utils.transforms import StandardScaler
 
 
+def build_eval_sample_fn(config: TrainConfig, case: Case, cond: bool, n: int):
+    """A pure ``(params, key, data_train, x, c) -> model.sample(...)`` with
+    the member's input scalers re-fitted from the *traced* ``data_train`` —
+    the same trick the fused train function uses. One compiled program then
+    serves every sweep member under vmap (no per-member recompiles)."""
+    from dpivae_tpu.train.setup import setup_model
+
+    def sample_fn(params, key, data_train, x, c):
+        model = setup_model(config, case, data_train)
+        return model.sample(
+            params, key, jnp.asarray(x), jnp.asarray(c), cond=cond, n=n,
+            grl_alpha=config.lambda_g0,
+        )
+
+    return sample_fn
+
+
 def evaluate_model(
     config: TrainConfig,
     case: Case,
@@ -62,16 +79,19 @@ def run_comparison(
     assert x_train.shape[0] == config.n_train
     assert config.n_batch <= config.n_train
 
-    sc_x = StandardScaler.fit(jnp.asarray(x_train))
-    sc_c = StandardScaler.fit(jnp.asarray(c_train))
+    from dpivae_tpu.utils import on_host_cpu
 
-    def features(x, c):
-        xt, _ = sc_x.forward(jnp.asarray(x))
-        ct, _ = sc_c.forward(jnp.asarray(c))
-        return np.asarray(jnp.concatenate((xt, ct), axis=-1))
+    with on_host_cpu():
+        sc_x = StandardScaler.fit(jnp.asarray(x_train))
+        sc_c = StandardScaler.fit(jnp.asarray(c_train))
 
-    X_train = features(x_train, c_train)
-    X_test = features(x_test, c_test)
+        def features(x, c):
+            xt, _ = sc_x.forward(jnp.asarray(x))
+            ct, _ = sc_c.forward(jnp.asarray(c))
+            return np.asarray(jnp.concatenate((xt, ct), axis=-1))
+
+        X_train = features(x_train, c_train)
+        X_test = features(x_test, c_test)
     Y_train = np.asarray(y_train)
     Y_test = np.asarray(y_test)
     if Y_train.shape[-1] == 1:

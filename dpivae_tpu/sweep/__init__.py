@@ -8,4 +8,12 @@ device mesh shards the member axis across chips (members are embarrassingly
 parallel; ICI carries nothing but the final gathered results).
 """
 
-from dpivae_tpu.sweep.sweep import SweepResult, train_sweep  # noqa: F401
+from dpivae_tpu.sweep.sweep import (  # noqa: F401
+    SweepResult,
+    member_datasets,
+    sweep_disentanglement_latents,
+    sweep_predict_y,
+    sweep_sample,
+    train_sweep,
+    train_sweep_data,
+)

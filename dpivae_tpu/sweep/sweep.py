@@ -47,6 +47,21 @@ class SweepResult(NamedTuple):
         return TrainLogs(*jax.tree.map(lambda a: a[i], tuple(self.logs)))
 
 
+def member_datasets(config: TrainConfig, case: Case, member_key):
+    """Replay a sweep member's (train, val) datasets from its base key.
+
+    ``build_member_fn`` derives data keys by splitting the member key; this
+    reproduces the identical arrays on demand (e.g. to refit the member's
+    input scalers for post-training evaluation) without the sweep having to
+    return its datasets.
+    """
+    k_dtr, k_dva, _, _ = jax.random.split(member_key, 4)
+    gt_dist = case.gt_dist()
+    data_train = sample_response(case, k_dtr, config.n_train, sample_dist=gt_dist)
+    data_val = sample_response(case, k_dva, config.n_val, sample_dist=gt_dist)
+    return data_train, data_val
+
+
 def build_member_fn(config: TrainConfig, case: Case):
     """One sweep member as a pure function ``(key, lambda) -> (params, logs,
     data_keys)``: sample data, init, train. vmap-ready."""
@@ -124,4 +139,182 @@ def train_sweep(
         logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
         lambdas = lambdas[:n_members]
         keys = keys[:n_members]
+    return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
+
+
+def sweep_sample(
+    config: TrainConfig,
+    case: Case,
+    result: SweepResult,
+    data_train,
+    x,
+    c,
+    cond: bool = False,
+    n: int = 1,
+    key=None,
+):
+    """Batched ``model.sample`` across all sweep members — one compiled
+    program, scalers re-fitted per member from the stacked ``data_train``
+    (leading member axis on every array, including x/c).
+
+    Returns the stacked 9-tuple of model.sample outputs.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    from dpivae_tpu.eval.evaluate import build_eval_sample_fn
+
+    sample_fn = build_eval_sample_fn(config, case, cond, n)
+    n_members = result.n_members
+    keys = jax.random.split(key, n_members)
+    data_train = tuple(jnp.asarray(a) for a in data_train[:3])
+    return jax.jit(jax.vmap(sample_fn))(
+        result.params, keys, data_train, jnp.asarray(x), jnp.asarray(c)
+    )
+
+
+def sweep_predict_y(
+    config: TrainConfig,
+    case: Case,
+    result: SweepResult,
+    data_train,
+    x,
+    c,
+    cond: bool = False,
+    n: int = 1,
+    key=None,
+):
+    """Batched posterior-mean ŷ across members (ref evaluate_model,
+    dpivae.py:538-553). Returns (n_members, n_test, nd_y).
+
+    Only the MC-mean of y_sample is returned, so at n_mc_test=512 the
+    (members x MC x test x nd_x) reconstruction tensors are dead code and
+    XLA never materializes them.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    from dpivae_tpu.eval.evaluate import build_eval_sample_fn
+
+    sample_fn = build_eval_sample_fn(config, case, cond, n)
+
+    def member(params, k, dtr, xm, cm):
+        out = sample_fn(params, k, dtr, xm, cm)
+        return jnp.mean(out[4], axis=0)
+
+    keys = jax.random.split(key, result.n_members)
+    data_train = tuple(jnp.asarray(a) for a in data_train[:3])
+    return jax.jit(jax.vmap(member))(
+        result.params, keys, data_train, jnp.asarray(x), jnp.asarray(c)
+    )
+
+
+def sweep_disentanglement_latents(
+    config: TrainConfig,
+    case: Case,
+    result: SweepResult,
+    n_train_reg: int,
+    n_test_reg: int,
+    cond: bool = False,
+    use_mean: bool = False,
+    key=None,
+):
+    """Device-batched latent extraction for the disentanglement sweep.
+
+    Per member (all inside ONE vmapped program): replay the member's
+    training data from its base key (for scaler parity with training),
+    sample fresh regressor train/test datasets, and compute MC-averaged
+    posterior latents on both. Only the sklearn probe fits remain on host.
+
+    Returns a dict of stacked arrays with leading member axis:
+    zx/zc/zy_{train,test} latents and z_{train,test} ground-truth factors.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    from dpivae_tpu.eval.evaluate import build_eval_sample_fn
+
+    n = config.n_mc_test if use_mean else 1
+    gt_dist = case.gt_dist()
+    sample_fn = build_eval_sample_fn(config, case, cond, n)
+
+    def member(params, member_key, reg_key):
+        k_dtr, _, _, _ = jax.random.split(member_key, 4)  # replay split
+        data_train = sample_response(
+            case, k_dtr, config.n_train, sample_dist=gt_dist
+        )
+        k1, k2, k3, k4 = jax.random.split(reg_key, 4)
+        dtr = sample_response(case, k1, n_train_reg, sample_dist=gt_dist)
+        dte = sample_response(case, k2, n_test_reg, sample_dist=gt_dist)
+        out_tr = sample_fn(params, k3, data_train[:3], dtr[0], dtr[1])
+        out_te = sample_fn(params, k4, data_train[:3], dte[0], dte[1])
+        mean = lambda a: jnp.mean(a, axis=0)
+        return {
+            "zx_train": mean(out_tr[5]), "zc_train": mean(out_tr[6]),
+            "zy_train": mean(out_tr[7]), "z_train": dtr[3],
+            "zx_test": mean(out_te[5]), "zc_test": mean(out_te[6]),
+            "zy_test": mean(out_te[7]), "z_test": dte[3],
+        }
+
+    reg_keys = jax.random.split(key, result.n_members)
+    return jax.jit(jax.vmap(member))(result.params, result.keys, reg_keys)
+
+
+def train_sweep_data(
+    config: TrainConfig,
+    case: Case,
+    lambdas,
+    data_train,
+    data_val,
+    key=None,
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "sweep",
+) -> SweepResult:
+    """Sweep over *host-provided* per-member datasets.
+
+    ``data_train``/``data_val`` are (x, c, y) tuples whose arrays carry a
+    leading member axis — e.g. the 4-domain × 6-run transfer grid of
+    reference 2_regression_comparison.py, where each member samples from a
+    different quadrant-mixture distribution. The full grid trains as one
+    vmapped program (optionally mesh-sharded over the member axis).
+    """
+    lambdas = jnp.asarray(lambdas, jnp.float32)
+    n_members = lambdas.shape[0]
+    data_train = tuple(jnp.asarray(a) for a in data_train[:3])
+    data_val = tuple(jnp.asarray(a) for a in data_val[:3])
+    for a in (*data_train, *data_val):
+        if a.shape[0] != n_members:
+            raise ValueError("data member axis must match len(lambdas)")
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+    keys = jax.random.split(key, n_members)
+
+    template = make_template_model(config, case)
+    train_fn = build_train_fn(config, case)
+
+    def member(key, lam, dtr, dva):
+        k_init, k_train = jax.random.split(key)
+        params = template.init(k_init)
+        state, logs = train_fn(params, k_train, dtr, dva, lam)
+        return state.params, logs
+
+    batched = jax.vmap(member)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(member_axis))
+        if n_members % mesh.shape[member_axis]:
+            raise ValueError(
+                "pad members to a multiple of the mesh axis for train_sweep_data"
+            )
+        keys = jax.device_put(keys, sharding)
+        lambdas = jax.device_put(lambdas, sharding)
+        data_train = jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(member_axis, *([None] * (a.ndim - 1))))
+            ),
+            data_train,
+        )
+        data_val = jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(member_axis, *([None] * (a.ndim - 1))))
+            ),
+            data_val,
+        )
+    params, logs = jax.jit(batched)(keys, lambdas, data_train, data_val)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

@@ -5,6 +5,7 @@ eager ``.to(device)`` moves of the reference have no JAX equivalent — arrays
 are placed by jit/sharding.
 """
 
+import contextlib
 import math
 
 # -0.5 * log(2*pi), the Gaussian normalization constant
@@ -21,3 +22,24 @@ CMAP_VARS = {
     "f": "tab:red",
     "p": "tab:cyan",
 }
+
+
+@contextlib.contextmanager
+def on_host_cpu():
+    """Run eager (un-jitted) array math on the CPU backend.
+
+    On the TPU tunnel used here, every *new* eager op triggers a ~1s remote
+    compile, so host-phase glue (data sampling for plots/eval, scaler fits)
+    must not run op-by-op on the accelerator. Inside this context, eager
+    ops execute on local CPU; jitted calls still place on the default
+    accelerator explicitly via their own shardings.
+    """
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # no cpu backend registered
+        yield None
+        return
+    with jax.default_device(cpu):
+        yield cpu

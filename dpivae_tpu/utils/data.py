@@ -12,8 +12,21 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpivae_tpu.utils.priors import factor_indices
+
+
+def test_train_split(n_train: int, n_test: int, data):
+    """Thin wrapper over sklearn's train_test_split (ref: utils/data.py:5-6;
+    unused by the main scripts, kept for API parity)."""
+    from sklearn.model_selection import train_test_split
+
+    return train_test_split(
+        *[np.asarray(a) for a in data],
+        test_size=int(n_test),
+        train_size=int(n_train),
+    )
 
 
 def sample_response(

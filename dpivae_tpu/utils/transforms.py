@@ -197,6 +197,31 @@ class MaskedChain:
         return obj
 
 
+class Flip:
+    """Direction-swapping wrapper: ``forward``/``inverse`` exchanged.
+
+    The reference bakes a ``flip`` flag into its Transform ABC
+    (utils/transforms.py:19,30-40); functionally that is just composition
+    with this wrapper.
+    """
+
+    def __init__(self, transform):
+        self.transform = transform
+
+    def forward(self, z):
+        return self.transform.inverse(z)
+
+    def inverse(self, z):
+        return self.transform.forward(z)
+
+    def tree_flatten(self):
+        return (self.transform,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+
 class Identity:
     """No-op transform (ref: utils/transforms.py:189-199)."""
 
@@ -216,7 +241,7 @@ class Identity:
         return cls()
 
 
-for _cls in (StandardScaler, ShiftScale, Logistic, Chain, MaskedChain, Identity):
+for _cls in (StandardScaler, ShiftScale, Logistic, Chain, MaskedChain, Flip, Identity):
     jax.tree_util.register_pytree_node(
         _cls, _cls.tree_flatten, _cls.tree_unflatten
     )

@@ -25,7 +25,7 @@ from matplotlib import pyplot as plt
 from matplotlib.cm import ScalarMappable
 from matplotlib.colors import LinearSegmentedColormap, Normalize
 
-from dpivae_tpu.utils import ALPHA_INTERP, CMAP_NAME, CMAP_VARS
+from dpivae_tpu.utils import ALPHA_INTERP, CMAP_NAME, CMAP_VARS, on_host_cpu
 from dpivae_tpu.utils.data import sample_response
 from dpivae_tpu.utils.jit_cache import cached_sample
 
@@ -68,8 +68,9 @@ def _traversal_grid(case, idx, n_interp):
 
 def _traversal_data(case, idx, n_interp, n_plot, key):
     z, sweep = _traversal_grid(case, idx, n_interp)
-    x, c, y, _ = sample_response(case, key, n_plot, z=jnp.asarray(z))
-    return np.asarray(x), np.asarray(c), np.asarray(y), sweep
+    with on_host_cpu():
+        x, c, y, _ = sample_response(case, key, n_plot, z=jnp.asarray(z))
+        return np.asarray(x), np.asarray(c), np.asarray(y), sweep
 
 
 def _colorbar(fig, ax, sweep, label, color, orientation="horizontal",
@@ -177,7 +178,11 @@ def plot_ground_truth_posterior(model, params, config, case, sample_dist,
         key = jax.random.PRNGKey(0)
     k_data, k_samp, k_prior = jax.random.split(key, 3)
 
-    x, c, y, z = sample_response(case, k_data, n_plot, sample_dist=sample_dist)
+    with on_host_cpu():
+        x, c, y, z = sample_response(
+            case, k_data, n_plot, sample_dist=sample_dist
+        )
+        prior_samples = np.asarray(case.prior_x_dist().sample(k_prior, (n_plot,)))
     out = _sample(model, params, config, k_samp, x, c, cond)
     zx_post = out[5][0]  # n=1 leading MC axis
 
@@ -188,7 +193,6 @@ def plot_ground_truth_posterior(model, params, config, case, sample_dist,
     df_gt.insert(0, "type", ["Ground truth"] * n_plot)
     df_post = pd.DataFrame(zx_post, columns=labels)
     df_post.insert(0, "type", ["Posterior Zp"] * n_plot)
-    prior_samples = np.asarray(case.prior_x_dist().sample(k_prior, (n_plot,)))
     df_prior = pd.DataFrame(prior_samples, columns=labels)
     df_prior.insert(0, "type", ["Prior"] * n_plot)
 

@@ -44,6 +44,11 @@ def main():
     from dpivae_tpu.utils.logging import save_logs_csv
 
     case = get_case(args.case)
+    if args.preset not in case.presets:
+        parser.error(
+            f"unknown preset {args.preset!r} for case {args.case!r}; "
+            f"have {sorted(case.presets)}"
+        )
     cfg = TrainConfig().with_preset(case.presets[args.preset])
     cfg = cfg.replace(name=args.name, use_seed=True)
     if args.n_iter is not None:
@@ -61,13 +66,20 @@ def main():
         os.makedirs(p, exist_ok=True)
     cfg.save_json(os.path.join(paths["settings"], "args.json"))
 
-    # Data (ref: 0_single_run.py:72-91)
+    # Data (ref: 0_single_run.py:72-91); host-phase sampling runs on CPU
+    # (eager ops on the TPU tunnel pay ~1s/op remote-compile latency)
+    from dpivae_tpu.utils import on_host_cpu
+
     dist_gt = case.gt_dist()
     key = jax.random.PRNGKey(cfg.seed)
     k_tr, k_va, k_te, k_fit = jax.random.split(key, 4)
-    data_train = sample_response(case, k_tr, cfg.n_train, sample_dist=dist_gt)
-    data_val = sample_response(case, k_va, cfg.n_val, sample_dist=dist_gt)
-    data_test = sample_response(case, k_te, cfg.n_test, sample_dist=dist_gt)
+    with on_host_cpu():
+        data_train = sample_response(case, k_tr, cfg.n_train, sample_dist=dist_gt)
+        data_val = sample_response(case, k_va, cfg.n_val, sample_dist=dist_gt)
+        data_test = sample_response(case, k_te, cfg.n_test, sample_dist=dist_gt)
+        data_train, data_val, data_test = jax.tree.map(
+            np.asarray, (data_train, data_val, data_test)
+        )
 
     # Train (ref: 0_single_run.py:96-98)
     model = setup_model(cfg, case, data_train)

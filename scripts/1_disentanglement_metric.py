@@ -1,0 +1,173 @@
+"""Disentanglement λ-sweep (ref: 1_disentanglement_metric.py).
+
+The reference trains 11 λ values × 6 seeds = 66 models *serially*. Here the
+whole grid trains as ONE vmapped (optionally multi-chip-sharded) device
+program via ``dpivae_tpu.sweep``; the sklearn disentanglement probes then
+run per member on host, and results aggregate into the same
+``disentanglement_score.csv`` + symlog score-vs-λ figure.
+
+    python scripts/1_disentanglement_metric.py --case damped_oscillator \
+        [--preset dpivae] [--n_runs 6] [--n_iter 20000] [--regressor linear]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+import pandas as pd
+
+SCALE_LAMBDA = 1e4
+# λ·10^4 grid (ref: 1_disentanglement_metric.py:53-56)
+VAR_LIST = np.array(
+    [1e4, 1e3, 1e2, 1e1, 1e0, 0.0, -1e0, -1e1, -1e2, -1e3, -1e4]
+) / SCALE_LAMBDA
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--case", default="damped_oscillator")
+    parser.add_argument("--preset", default="dpivae")
+    parser.add_argument("--name", default="disentanglement")
+    parser.add_argument("--n_runs", type=int, default=6)
+    parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--regressor", default="linear", choices=["linear", "mlp"])
+    parser.add_argument("--n_train_regressor", type=int, default=2048)
+    parser.add_argument("--n_test_regressor", type=int, default=2048)
+    parser.add_argument("--cond", action="store_true")
+    parser.add_argument("--use_mean", action="store_true")
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--output", default="output")
+    parser.add_argument("--lambdas", type=float, nargs="*", default=None,
+                        help="override the λ grid (raw values, not x1e4)")
+    args = parser.parse_args()
+
+    from dpivae_tpu.cases import get_case
+    from dpivae_tpu.config import TrainConfig
+    from dpivae_tpu.sweep import sweep_disentanglement_latents, train_sweep
+    from dpivae_tpu.utils import CMAP_VARS
+    from dpivae_tpu.utils.logging import save_logs_csv
+
+    case = get_case(args.case)
+    if args.preset not in case.presets:
+        parser.error(
+            f"unknown preset {args.preset!r} for case {args.case!r}; "
+            f"have {sorted(case.presets)}"
+        )
+    cfg = TrainConfig().with_preset(case.presets[args.preset]).replace(
+        use_seed=True, seed=args.seed
+    )
+    if args.n_iter is not None:
+        cfg = cfg.replace(n_iter=args.n_iter)
+    lambdas = np.asarray(
+        args.lambdas if args.lambdas is not None else VAR_LIST, np.float32
+    )
+
+    path_output = os.path.join(args.output, args.name)
+    os.makedirs(path_output, exist_ok=True)
+    cfg.save_json(os.path.join(path_output, "args.json"))
+
+    n_members = len(lambdas) * args.n_runs
+    print(
+        f"Training {n_members} sweep members ({len(lambdas)} λ × "
+        f"{args.n_runs} runs) as one batched program ..."
+    )
+    result = train_sweep(
+        cfg, case, lambdas=lambdas, n_runs=args.n_runs,
+        key=jax.random.PRNGKey(args.seed),
+    )
+    jax.block_until_ready(result.params)
+    print("Sweep training done; running disentanglement probes ...")
+
+    # Batched latent extraction on device (one vmapped program), then
+    # host-side sklearn probes per member (ref: :134-150)
+    from sklearn.linear_model import LinearRegression
+    from sklearn.neural_network import MLPRegressor
+
+    latents = sweep_disentanglement_latents(
+        cfg, case, result, args.n_train_regressor, args.n_test_regressor,
+        cond=args.cond, use_mean=args.use_mean,
+        key=jax.random.PRNGKey(args.seed + 1),
+    )
+    latents = {k: np.asarray(v) for k, v in latents.items()}
+
+    def make_regressor():
+        if args.regressor == "linear":
+            return LinearRegression()
+        return MLPRegressor(hidden_layer_sizes=(128, 128), max_iter=20000)
+
+    df_columns = ["set", "gen_factor", "score", "idx_var", "iter", "lambda"]
+    rows_all = []
+    list_fail = []
+    for m in range(result.n_members):
+        i_lambda, j_run = divmod(m, args.n_runs)
+        try:
+            for i, factor in enumerate(case.factors):
+                for block in ("zx", "zc", "zy"):
+                    rgr = make_regressor().fit(
+                        latents[f"{block}_train"][m],
+                        latents["z_train"][m][:, i],
+                    )
+                    score = rgr.score(
+                        latents[f"{block}_test"][m],
+                        latents["z_test"][m][:, i],
+                    )
+                    rows_all.append(
+                        [block, factor.name, score, i_lambda, j_run,
+                         float(result.lambdas[m])]
+                    )
+        except Exception as e:  # collect, don't abort (ref: :149-150)
+            list_fail.append([i_lambda, j_run, m, float(result.lambdas[m]), str(e)])
+
+        # Per-member metric CSVs (ref per-run output dirs, :95-107)
+        run_dir = os.path.join(path_output, str(m), "metrics")
+        save_logs_csv(result.member_logs(m), run_dir)
+
+    df = pd.DataFrame(rows_all, columns=df_columns)
+    df["lambda"] = df["lambda"] * SCALE_LAMBDA
+    df.to_csv(os.path.join(path_output, "disentanglement_score.csv"), index=False)
+    if list_fail:
+        print(f"{len(list_fail)} member probes failed: {list_fail}")
+
+    # Symlog score-vs-λ figure (ref: :163-225)
+    from matplotlib import pyplot as plt
+
+    factors = [f.name for f in case.factors]
+    labels = [f.label for f in case.factors]
+    colors = ["tab:blue", "tab:green", "tab:orange"]
+    fig, ax = plt.subplots(len(factors), 1, sharex="col")
+    ax = np.atleast_1d(ax)
+    for i, factor in enumerate(case.factors):
+        df_i = df[df["gen_factor"] == factor.name]
+        for color, block, label in zip(
+            colors, ["zx", "zc", "zy"],
+            [r"$z_\mathrm{x}$", r"$z_\mathrm{c}$", r"$z_\mathrm{y}$"],
+        ):
+            df_b = df_i[df_i["set"] == block]
+            grp = df_b[["lambda", "score"]].groupby("lambda")
+            mean, std = grp.mean(), grp.std()
+            ax[i].fill_between(
+                std.index.values,
+                (mean["score"] - std["score"]).values,
+                (mean["score"] + std["score"]).values,
+                alpha=0.4, color=color,
+            )
+            ax[i].plot(mean.index.values, mean["score"].values, alpha=1.0,
+                       label=label, color=color)
+            ax[i].scatter(df_b["lambda"], df_b["score"], alpha=0.9, s=4.0,
+                          color=color)
+        ax[i].set_xscale("symlog", linthresh=1)
+        ax[i].set_ylabel(labels[i], color=CMAP_VARS[factor.type])
+    ax[-1].legend(bbox_transform=fig.transFigure, loc="lower center",
+                  bbox_to_anchor=(0.5, 0.90), ncol=3)
+    ax[-1].set_xlabel(r"$\lambda \cdot 10^4$")
+    fig.tight_layout()
+    fig.savefig(os.path.join(path_output, "disentanglement_score.png"))
+    print(f"Wrote {path_output}/disentanglement_score.{{csv,png}}")
+
+
+if __name__ == "__main__":
+    main()
