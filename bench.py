@@ -17,6 +17,7 @@ import json
 import time
 
 import jax
+import numpy as np
 
 from dpivae_tpu.cases import get_case
 from dpivae_tpu.config import TrainConfig
@@ -34,23 +35,43 @@ def main():
         .with_preset(case.presets["dpivae"])
         .replace(use_seed=True, patience=10**9)  # time all 20k steps
     )
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    data_train = sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist())
-    data_val = sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist())
+    from dpivae_tpu.utils import on_host_cpu
+
+    # Host-phase data/init on CPU (eager ops on the TPU tunnel pay ~1s/op
+    # remote-compile latency and would pollute the timing queue)
+    with on_host_cpu():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        data_train = jax.tree.map(
+            np.asarray,
+            sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist()),
+        )
+        data_val = jax.tree.map(
+            np.asarray,
+            sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist()),
+        )
     model = setup_model(cfg, case, data_train)
     train_fn = jax.jit(build_train_fn(cfg, case))
-    params = model.init(jax.random.PRNGKey(1))
+    with on_host_cpu():
+        params = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(1)))
     lam = jax.numpy.asarray(cfg.lambda_g0, jax.numpy.float32)
     dtr, dva = tuple(data_train[:3]), tuple(data_val[:3])
 
-    # Compile + warm up
-    state, _ = train_fn(params, jax.random.PRNGKey(2), dtr, dva, lam)
-    jax.block_until_ready(state.params)
+    def force(out):
+        # jax.block_until_ready is unreliable on the tunneled backend;
+        # a host transfer of a result scalar forces execution for real.
+        state, logs = out
+        return float(np.asarray(logs.train[-1, 0]))
 
-    t0 = time.perf_counter()
-    state, logs = train_fn(params, jax.random.PRNGKey(3), dtr, dva, lam)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # Compile + warm up
+    force(train_fn(params, jax.random.PRNGKey(2), dtr, dva, lam))
+
+    dts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        force(train_fn(params, jax.random.fold_in(jax.random.PRNGKey(3), rep),
+                       dtr, dva, lam))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     steps_per_sec = cfg.n_iter / dt
     print(

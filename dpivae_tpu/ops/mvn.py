@@ -22,6 +22,31 @@ import jax.numpy as jnp
 
 from dpivae_tpu.utils import GAUSSIAN_CONST
 
+# Latent dims in this model family are 1-10; below this bound the matvec and
+# triangular solve are formulated as unrolled elementwise VPU ops. Batched
+# (d, d) matmuls/solves at d<=10 are pathological on the MXU (each tiny
+# matrix pads toward a 128-lane tile; vmapped sweeps multiply the waste),
+# while the elementwise forms fuse into neighbouring ops for free.
+_SMALL_DIM = 16
+
+
+def _matvec_small(L, v):
+    """(..., d, d) @ (..., d) as a broadcast-multiply + reduce (VPU)."""
+    return jnp.sum(L * v[..., None, :], axis=-1)
+
+
+def _tri_solve_small(L, b):
+    """Forward substitution for lower-triangular L, unrolled over the
+    (static, tiny) dimension: pure elementwise ops, no MXU, no loops."""
+    d = b.shape[-1]
+    xs = []
+    for i in range(d):
+        s = b[..., i]
+        for j in range(i):
+            s = s - L[..., i, j] * xs[j]
+        xs.append(s / L[..., i, i])
+    return jnp.stack(xs, axis=-1)
+
 
 def mvn_sample_with_log_prob(key, loc, scale_tril, n: int):
     """Draw ``n`` reparameterized samples and their log-density.
@@ -38,8 +63,10 @@ def mvn_sample_with_log_prob(key, loc, scale_tril, n: int):
     """
     d = loc.shape[-1]
     eps = jax.random.normal(key, (n, *loc.shape))
-    # (n, ..., d) = (..., d, d) @ (n, ..., d, 1)
-    z = loc + jnp.squeeze(scale_tril @ eps[..., None], -1)
+    if d <= _SMALL_DIM:
+        z = loc + _matvec_small(scale_tril, eps)
+    else:
+        z = loc + jnp.squeeze(scale_tril @ eps[..., None], -1)
     half_log_det = jnp.sum(
         jnp.log(jnp.diagonal(scale_tril, axis1=-2, axis2=-1)), axis=-1
     )
@@ -62,11 +89,15 @@ def mvn_log_prob(z, loc, scale_tril):
     """
     d = z.shape[-1]
     diff = z - loc
-    # Broadcast L against the (possibly larger) batch shape of diff —
-    # triangular_solve requires matching batch dims.
-    L = jnp.broadcast_to(scale_tril, (*diff.shape[:-1], d, d))
-    # Solve L u = diff  =>  u = L^{-1} diff; Mahalanobis = ||u||^2
-    u = jax.scipy.linalg.solve_triangular(L, diff[..., None], lower=True)[..., 0]
+    if d <= _SMALL_DIM:
+        u = _tri_solve_small(scale_tril, diff)
+    else:
+        # Broadcast L against the (possibly larger) batch shape of diff —
+        # triangular_solve requires matching batch dims.
+        L = jnp.broadcast_to(scale_tril, (*diff.shape[:-1], d, d))
+        u = jax.scipy.linalg.solve_triangular(
+            L, diff[..., None], lower=True
+        )[..., 0]
     half_log_det = jnp.sum(
         jnp.log(jnp.diagonal(scale_tril, axis1=-2, axis2=-1)), axis=-1
     )

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--preset", default="dpivae")
     parser.add_argument("--name", default="single_run")
     parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--n_train", type=int, default=None)
+    parser.add_argument("--n_val", type=int, default=None)
+    parser.add_argument("--n_test", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--cond", action="store_true")
     parser.add_argument("--no-plots", action="store_true")
@@ -51,10 +54,12 @@ def main():
         )
     cfg = TrainConfig().with_preset(case.presets[args.preset])
     cfg = cfg.replace(name=args.name, use_seed=True)
-    if args.n_iter is not None:
-        cfg = cfg.replace(n_iter=args.n_iter)
-    if args.seed is not None:
-        cfg = cfg.replace(seed=args.seed)
+    for field in ("n_iter", "n_train", "n_val", "n_test", "seed"):
+        value = getattr(args, field)
+        if value is not None:
+            cfg = cfg.replace(**{field: value})
+    if cfg.n_batch > cfg.n_train:
+        cfg = cfg.replace(n_batch=cfg.n_train)
 
     # Output layout (ref: 0_single_run.py:47-64)
     path_output = os.path.join(args.output, args.name)

@@ -1,0 +1,57 @@
+"""CLI entry-point smoke tests (subprocess, CPU backend, tiny sizes)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # Neutralize the axon sitecustomize (registers the TPU plugin)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, *args], cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.mark.slow
+def test_single_run_cli(tmp_path):
+    res = _run(
+        [os.path.join(REPO, "scripts", "0_single_run.py"),
+         "--case", "simple_beam", "--preset", "dpivae",
+         "--n_iter", "40", "--n_train", "64", "--n_val", "32",
+         "--n_test", "32", "--name", "t0", "--no-plots",
+         "--output", str(tmp_path)],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "final train ELBO" in res.stdout
+    # Output layout contract (ref: 0_single_run.py:47-64)
+    for sub in ("metrics", "settings", "models"):
+        assert (tmp_path / "t0" / sub).exists()
+    with open(tmp_path / "t0" / "settings" / "args.json") as f:
+        snap = json.load(f)
+    assert snap["model_type"] == "S" and snap["n_iter"] == 40
+    elbo = np.loadtxt(tmp_path / "t0" / "metrics" / "ELBO.csv",
+                      delimiter=",", skiprows=1)
+    assert elbo.shape == (40, 2)
+
+
+@pytest.mark.slow
+def test_single_run_cli_bad_preset(tmp_path):
+    res = _run(
+        [os.path.join(REPO, "scripts", "0_single_run.py"),
+         "--case", "simple_beam", "--preset", "nope"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode != 0
+    assert "unknown preset" in res.stderr
