@@ -84,6 +84,13 @@ def build_member_fn(config: TrainConfig, case: Case):
     return member
 
 
+def _force(tree) -> None:
+    """Force execution with a host transfer of one scalar —
+    jax.block_until_ready is unreliable on the tunneled TPU backend."""
+    leaf = jax.tree.leaves(tree)[0]
+    float(np.asarray(leaf).ravel()[0])
+
+
 def train_sweep(
     config: TrainConfig,
     case: Case,
@@ -92,8 +99,9 @@ def train_sweep(
     key=None,
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
+    chunk_size: Optional[int] = 12,
 ) -> SweepResult:
-    """Train the full (λ × run) grid as one batched program.
+    """Train the full (λ × run) grid as batched vmapped programs.
 
     Args:
         lambdas: GRL strengths; the grid is their cross product with
@@ -102,6 +110,11 @@ def train_sweep(
         mesh: optional device mesh; the member axis is sharded over
             ``member_axis``. Pad members to a multiple of the axis size for
             even sharding (done automatically; pads are trained and dropped).
+        chunk_size: members per program invocation. One compiled program is
+            reused across chunks; each chunk is forced to completion before
+            the next (bounds single-program device runtime — very long
+            executions can trip the TPU transport — and memory). None or
+            >= n_members disables chunking.
 
     Returns:
         SweepResult with leading member axis ordered λ-major
@@ -113,32 +126,57 @@ def train_sweep(
     n_members = lambdas.shape[0]
     keys = jax.random.split(key, n_members)
 
-    n_pad = 0
-    if mesh is not None:
-        axis_size = mesh.shape[member_axis]
-        n_pad = (-n_members) % axis_size
-        if n_pad:
-            lambdas = jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)])
-            keys = jnp.concatenate([keys, keys[-n_pad:]])
-
     member = build_member_fn(config, case)
     batched = jax.vmap(member)
 
     if mesh is not None:
+        # Mesh mode: a single sharded program (chunking would fight the
+        # member-axis sharding); pad members to the axis size.
+        axis_size = mesh.shape[member_axis]
+        n_pad = (-n_members) % axis_size
+        if n_pad:
+            lambdas_p = jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)])
+            keys_p = jnp.concatenate([keys, keys[-n_pad:]])
+        else:
+            lambdas_p, keys_p = lambdas, keys
         sharding = NamedSharding(mesh, P(member_axis))
-        keys = jax.device_put(keys, sharding)
-        lambdas = jax.device_put(lambdas, sharding)
+        keys_p = jax.device_put(keys_p, sharding)
+        lambdas_p = jax.device_put(lambdas_p, sharding)
         batched = jax.jit(batched, in_shardings=(sharding, sharding))
-    else:
-        batched = jax.jit(batched)
+        params, logs = batched(keys_p, lambdas_p)
+        if n_pad:
+            trim = lambda a: a[:n_members]
+            params = jax.tree.map(trim, params)
+            logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
+        return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
-    params, logs = batched(keys, lambdas)
-    if n_pad:
-        trim = lambda a: a[:n_members]
-        params = jax.tree.map(trim, params)
-        logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
-        lambdas = lambdas[:n_members]
-        keys = keys[:n_members]
+    batched = jax.jit(batched)
+    if chunk_size is None or chunk_size >= n_members:
+        params, logs = batched(keys, lambdas)
+        return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
+
+    # Chunked: pad to a chunk multiple so one compile serves every chunk
+    n_pad = (-n_members) % chunk_size
+    keys_p = jnp.concatenate([keys, keys[-1:].repeat(n_pad, 0)]) if n_pad else keys
+    lambdas_p = (
+        jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)]) if n_pad else lambdas
+    )
+    chunks = []
+    for start in range(0, n_members + n_pad, chunk_size):
+        sl = slice(start, start + chunk_size)
+        out = batched(keys_p[sl], lambdas_p[sl])
+        _force(out)
+        chunks.append(out)
+    params = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
+        *[c[0] for c in chunks],
+    )
+    logs = TrainLogs(
+        *jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
+            *[tuple(c[1]) for c in chunks],
+        )
+    )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
 
@@ -216,13 +254,18 @@ def sweep_disentanglement_latents(
     cond: bool = False,
     use_mean: bool = False,
     key=None,
+    chunk_size: int = 22,
 ):
     """Device-batched latent extraction for the disentanglement sweep.
 
-    Per member (all inside ONE vmapped program): replay the member's
+    Per member (inside one vmapped program): replay the member's
     training data from its base key (for scaler parity with training),
     sample fresh regressor train/test datasets, and compute MC-averaged
     posterior latents on both. Only the sklearn probe fits remain on host.
+
+    Members are processed in ``chunk_size`` batches through one compiled
+    program (results concatenated on host) — bounds device memory and blast
+    radius for very large grids.
 
     Returns a dict of stacked arrays with leading member axis:
     zx/zc/zy_{train,test} latents and z_{train,test} ground-truth factors.
@@ -254,7 +297,28 @@ def sweep_disentanglement_latents(
         }
 
     reg_keys = jax.random.split(key, result.n_members)
-    return jax.jit(jax.vmap(member))(result.params, result.keys, reg_keys)
+    batched = jax.jit(jax.vmap(member))
+
+    n_members = result.n_members
+    chunk_size = min(chunk_size, n_members)
+    # Pad to a chunk multiple so one compiled program serves every chunk
+    n_pad = (-n_members) % chunk_size
+    take = lambda tree, sl: jax.tree.map(lambda a: a[sl], tree)
+    pad = lambda tree: jax.tree.map(
+        lambda a: jnp.concatenate([a, a[:n_pad]]) if n_pad else a, tree
+    )
+    params_p = pad(result.params)
+    keys_p = pad(result.keys)
+    reg_keys_p = pad(reg_keys)
+
+    chunks = []
+    for start in range(0, n_members + n_pad, chunk_size):
+        sl = slice(start, start + chunk_size)
+        chunks.append(
+            batched(take(params_p, sl), keys_p[sl], reg_keys_p[sl])
+        )
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+    return jax.tree.map(lambda a: a[:n_members], out)
 
 
 def train_sweep_data(

@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--output", default="output")
     parser.add_argument("--lambdas", type=float, nargs="*", default=None,
                         help="override the λ grid (raw values, not x1e4)")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="shard sweep members over a device mesh")
+    parser.add_argument("--latents_chunk", type=int, default=11,
+                        help="members per batched latent-extraction program")
     args = parser.parse_args()
 
     from dpivae_tpu.cases import get_case
@@ -75,9 +79,14 @@ def main():
         f"Training {n_members} sweep members ({len(lambdas)} λ × "
         f"{args.n_runs} runs) as one batched program ..."
     )
+    mesh = None
+    if args.n_devices:
+        from dpivae_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices, axes=("sweep",))
     result = train_sweep(
         cfg, case, lambdas=lambdas, n_runs=args.n_runs,
-        key=jax.random.PRNGKey(args.seed),
+        key=jax.random.PRNGKey(args.seed), mesh=mesh,
     )
     jax.block_until_ready(result.params)
     print("Sweep training done; running disentanglement probes ...")
@@ -91,6 +100,7 @@ def main():
         cfg, case, result, args.n_train_regressor, args.n_test_regressor,
         cond=args.cond, use_mean=args.use_mean,
         key=jax.random.PRNGKey(args.seed + 1),
+        chunk_size=args.latents_chunk,
     )
     latents = {k: np.asarray(v) for k, v in latents.items()}
 
