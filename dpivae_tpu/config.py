@@ -120,6 +120,9 @@ class TrainConfig:
     ch_out: int = 16
     ch_latent: int = 64
 
+    # Framework extensions (no reference equivalent)
+    use_pallas: bool = False  # fused pallas kernel for the decoder branch
+
     def with_preset(self, preset: Mapping[str, Any]) -> "TrainConfig":
         """Overlay a case preset dict, mirroring the reference's
         ``vars(args).update(preset)`` semantics (ref 0_single_run.py:39-44)."""

@@ -46,6 +46,7 @@ def grad_rev_additive_apply(
     z_rev: jnp.ndarray,
     physics_model: Callable[[jnp.ndarray], jnp.ndarray],
     grl_alpha: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The physics+NN additive fusion decoder (ref: models/decoders.py:79-92).
 
@@ -64,8 +65,21 @@ def grad_rev_additive_apply(
         z_d = grad_reverse(z_rev, jnp.asarray(grl_alpha))
     else:
         z_d = z_rev
-    xh_d = linear_apply(
-        params["fx1"], jax.nn.relu(linear_apply(params["fx0"], z_d))
-    )
+    if use_pallas:
+        # Fused linear->relu->linear TPU kernel (identical math + VJP;
+        # falls back to jnp off-TPU). The hidden width (128) is
+        # lane-aligned, making this the one MLP in the model that tiles
+        # the MXU cleanly as a single kernel.
+        from dpivae_tpu.ops.pallas_mlp import fused_mlp
+
+        xh_d = fused_mlp(
+            z_d,
+            params["fx0"]["w"], params["fx0"]["b"],
+            params["fx1"]["w"], params["fx1"]["b"],
+        )
+    else:
+        xh_d = linear_apply(
+            params["fx1"], jax.nn.relu(linear_apply(params["fx0"], z_d))
+        )
     xh_p = physics_model(z)
     return xh_p, xh_d

@@ -67,6 +67,8 @@ class DPIVAE:
     transform_y: Optional[object] = None
     output_transform_zx: Optional[object] = None  # squash for z_x
     jitter: float = 1e-6
+    # Opt-in pallas fused kernel for the data-driven decoder branch
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.model_type not in ("P", "S"):
@@ -211,6 +213,7 @@ class DPIVAE:
             jnp.concatenate((zc, zy), axis=-1),
             self.physics_model,
             grl_alpha=grl_alpha,
+            use_pallas=self.use_pallas,
         )
         yh, log_sigma_y = decoders.decoder_apply(params["decoder_y"], zy, self.nd_y)
         ch, log_sigma_c = decoders.decoder_apply(params["decoder_c"], zc, self.nd_c)

@@ -330,14 +330,16 @@ def train_sweep_data(
     key=None,
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
+    chunk_size: Optional[int] = 12,
 ) -> SweepResult:
     """Sweep over *host-provided* per-member datasets.
 
     ``data_train``/``data_val`` are (x, c, y) tuples whose arrays carry a
     leading member axis — e.g. the 4-domain × 6-run transfer grid of
     reference 2_regression_comparison.py, where each member samples from a
-    different quadrant-mixture distribution. The full grid trains as one
-    vmapped program (optionally mesh-sharded over the member axis).
+    different quadrant-mixture distribution. The grid trains as vmapped
+    programs of ``chunk_size`` members (see train_sweep: long single
+    programs trip the TPU transport), optionally mesh-sharded instead.
     """
     lambdas = jnp.asarray(lambdas, jnp.float32)
     n_members = lambdas.shape[0]
@@ -359,7 +361,7 @@ def train_sweep_data(
         state, logs = train_fn(params, k_train, dtr, dva, lam)
         return state.params, logs
 
-    batched = jax.vmap(member)
+    batched = jax.jit(jax.vmap(member))
     if mesh is not None:
         sharding = NamedSharding(mesh, P(member_axis))
         if n_members % mesh.shape[member_axis]:
@@ -368,17 +370,41 @@ def train_sweep_data(
             )
         keys = jax.device_put(keys, sharding)
         lambdas = jax.device_put(lambdas, sharding)
-        data_train = jax.tree.map(
-            lambda a: jax.device_put(
-                a, NamedSharding(mesh, P(member_axis, *([None] * (a.ndim - 1))))
-            ),
-            data_train,
+        data_sh = lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(member_axis, *([None] * (a.ndim - 1))))
         )
-        data_val = jax.tree.map(
-            lambda a: jax.device_put(
-                a, NamedSharding(mesh, P(member_axis, *([None] * (a.ndim - 1))))
-            ),
-            data_val,
+        data_train = jax.tree.map(data_sh, data_train)
+        data_val = jax.tree.map(data_sh, data_val)
+        params, logs = batched(keys, lambdas, data_train, data_val)
+        return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
+
+    if chunk_size is None or chunk_size >= n_members:
+        params, logs = batched(keys, lambdas, data_train, data_val)
+        return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
+
+    n_pad = (-n_members) % chunk_size
+    pad = lambda a: jnp.concatenate([a, a[-1:].repeat(n_pad, 0)]) if n_pad else a
+    keys_p, lambdas_p = pad(keys), pad(lambdas)
+    dtr_p = jax.tree.map(pad, data_train)
+    dva_p = jax.tree.map(pad, data_val)
+    chunks = []
+    for start in range(0, n_members + n_pad, chunk_size):
+        sl = slice(start, start + chunk_size)
+        out = batched(
+            keys_p[sl], lambdas_p[sl],
+            jax.tree.map(lambda a: a[sl], dtr_p),
+            jax.tree.map(lambda a: a[sl], dva_p),
         )
-    params, logs = jax.jit(batched)(keys, lambdas, data_train, data_val)
+        _force(out)
+        chunks.append(out)
+    params = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
+        *[c[0] for c in chunks],
+    )
+    logs = TrainLogs(
+        *jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
+            *[tuple(c[1]) for c in chunks],
+        )
+    )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

@@ -94,6 +94,7 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         transform_c=transform_c,
         transform_y=transform_y,
         output_transform_zx=output_transform_zx,
+        use_pallas=config.use_pallas,
     )
 
 
