@@ -47,6 +47,11 @@ _jax.config.update(
 # rerun of a script/benchmark start instantly. Opt out with
 # DPIVAE_COMPILATION_CACHE=0 or redirect with DPIVAE_COMPILATION_CACHE=<dir>.
 _cache = _os.environ.get("DPIVAE_COMPILATION_CACHE", "~/.cache/dpivae_tpu_xla")
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # CPU runs (tests, driver dry-runs) skip the cache: XLA:CPU AOT
+    # artifacts written by the remote-compile service carry mismatched
+    # machine features and risk SIGILL on load.
+    _cache = "0"
 if _cache not in ("0", "", "off"):
     _cache = _os.path.expanduser(_cache)
     _os.makedirs(_cache, exist_ok=True)

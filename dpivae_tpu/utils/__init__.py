@@ -12,6 +12,10 @@ import math
 # (ref: utils/__init__.py:10)
 GAUSSIAN_CONST = -0.5 * math.log(2.0 * math.pi)
 
+# Infinity constants (ref: utils/__init__.py:8-9)
+NEG_INF = float("-inf")
+POS_INF = float("inf")
+
 # Plotting constants (ref: utils/__init__.py:13-15)
 CMAP_NAME = "plasma"
 ALPHA_INTERP = 0.01

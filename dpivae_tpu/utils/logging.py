@@ -57,6 +57,12 @@ def save_logs_csv(logs: TrainLogs, path_metrics: str) -> None:
         )
 
 
+def get_logger_training_curve(logs: TrainLogs, label: str):
+    """(iters, values) for a named series — API-parity alias for the
+    reference's logger read-back (ref: utils/loss.py:1-4)."""
+    return logs.scalars(label)
+
+
 def load_series_csv(path_metrics: str, name: str):
     """(iters, values) from a saved series CSV."""
     data = np.loadtxt(
