@@ -184,10 +184,14 @@ def build_train_fn(config: TrainConfig, case: Case):
             key, k_batch, k_mc = jax.random.split(state.key, 3)
             betas = schedules(step_idx)
 
-            # Uniform batch without replacement (ref: dpivae.py:403-404)
-            idx = jax.random.choice(
-                k_batch, config.n_train, (config.n_batch,), replace=False
-            )
+            # Uniform batch without replacement (ref: dpivae.py:403-404).
+            # top_k of iid uniforms selects a uniformly-random size-n_batch
+            # subset — same distribution as jax.random.choice(replace=False)
+            # but a partial selection instead of a full 1024-key sort
+            # (~10% of the step at reference sizes).
+            idx = jax.lax.top_k(
+                jax.random.uniform(k_batch, (config.n_train,)), config.n_batch
+            )[1]
             x_i, c_i, y_i = x_train[idx], c_train[idx], y_train[idx]
 
             (_, comps), grads = loss_grad(

@@ -99,6 +99,31 @@ def test_optimizer_group_structure():
     assert abs(float(np.asarray(w_up)[0, 0])) == pytest.approx(1e-3, rel=1e-3)
 
 
+def test_batch_sampling_uniform_without_replacement():
+    """The top_k-based batch sampler must match choice(replace=False):
+    unique indices per step, uniform marginal coverage."""
+    import jax.numpy as jnp
+
+    n_train, n_batch = 128, 32
+
+    def draw(key):
+        return jax.lax.top_k(jax.random.uniform(key, (n_train,)), n_batch)[1]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 400)
+    idx = np.asarray(jax.vmap(draw)(keys))
+    # no replacement within a step
+    for row in idx[:50]:
+        assert len(set(row.tolist())) == n_batch
+    # uniform marginal: each index selected with p = n_batch/n_train
+    counts = np.bincount(idx.ravel(), minlength=n_train)
+    expected = 400 * n_batch / n_train
+    assert abs(counts.mean() - expected) < 1e-6
+    # 5-sigma binomial bound on per-index counts
+    sigma = np.sqrt(400 * (n_batch / n_train) * (1 - n_batch / n_train))
+    assert np.all(np.abs(counts - expected) < 5 * sigma)
+    del jnp
+
+
 def test_p_preset_trains():
     case, cfg, model, data_train, data_val = _setup(preset="vae")
     params, logs = train_model(cfg, model, case, data_train, data_val)
