@@ -181,6 +181,11 @@ def build_train_fn(config: TrainConfig, case: Case):
         loss_grad = jax.value_and_grad(normalized_loss, has_aux=True)
 
         def train_step(state: TrainState, step_idx):
+            """One unconditional optimizer step. Early-stop freezing happens
+            at *block* granularity (see ``block``): stopping can only latch
+            at a validation boundary, so discarding a whole block's state
+            drift is observably identical to per-step freezing while keeping
+            ~2x params-size of `where` ops out of the hot step."""
             key, k_batch, k_mc = jax.random.split(state.key, 3)
             betas = schedules(step_idx)
 
@@ -201,11 +206,9 @@ def build_train_fn(config: TrainConfig, case: Case):
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
-            # Freeze once early-stopped; pad steps past n_iter also inactive
-            active = jnp.logical_and(~state.es.stopped, step_idx < n_iter)
             new_state = TrainState(
-                params=_tree_select(active, new_params, state.params),
-                opt_state=_tree_select(active, new_opt_state, state.opt_state),
+                params=new_params,
+                opt_state=new_opt_state,
                 es=state.es,
                 key=key,
             )
@@ -214,11 +217,11 @@ def build_train_fn(config: TrainConfig, case: Case):
                 [
                     comps,
                     jnp.stack(
-                        [lam, bx, bc, by,
-                         jnp.exp(new_state.params["log_sigma_x"])]
+                        [lam, bx, bc, by, jnp.exp(new_params["log_sigma_x"])]
                     ),
                 ]
             )
+            active = jnp.logical_and(~state.es.stopped, step_idx < n_iter)
             return new_state, (row, active)
 
         def val_step(state: TrainState, step_idx):
@@ -236,13 +239,26 @@ def build_train_fn(config: TrainConfig, case: Case):
         def block(state: TrainState, block_idx):
             """One validation block: step, validate, remaining vf-1 steps
             (matches the reference ordering — validation happens right after
-            the train step at iters ≡ 0 mod val_freq, ref: dpivae.py:454)."""
+            the train step at iters ≡ 0 mod val_freq, ref: dpivae.py:454).
+            If training was already stopped at block entry, the whole
+            block's state changes are discarded (freeze-when-stopped)."""
             start = block_idx * vf
+            entry = state
             state, (row0, active0) = train_step(state, start)
             val_active = jnp.logical_and(~state.es.stopped, start < n_iter)
             state, val_row = val_step(state, start)
             state, (rows, actives) = jax.lax.scan(
                 train_step, state, start + 1 + jnp.arange(vf - 1)
+            )
+            block_live = jnp.logical_and(~entry.es.stopped, start < n_iter)
+            state = TrainState(
+                params=_tree_select(block_live, state.params, entry.params),
+                opt_state=_tree_select(
+                    block_live, state.opt_state, entry.opt_state
+                ),
+                # es latches internally; key may advance freely
+                es=state.es,
+                key=state.key,
             )
             block_rows = jnp.concatenate([row0[None], rows], axis=0)
             block_active = jnp.concatenate([active0[None], actives], axis=0)
