@@ -89,4 +89,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the tunneled TPU occasionally faults and
+        # self-heals within a few minutes (see CLAUDE.md); retry once
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(f"bench failed ({type(e).__name__}); retrying in 240s...",
+              file=sys.stderr)
+        time.sleep(240)
+        main()

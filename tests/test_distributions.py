@@ -1,0 +1,93 @@
+"""Distribution library: densities/icdf vs scipy, mixture sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.utils.distributions import (
+    BoxUniform,
+    MarginalDistribution,
+    Normal,
+    Uniform,
+    UniformBoxMixture,
+    make_distribution,
+)
+
+
+def test_normal_matches_scipy():
+    d = Normal(2.0, 0.5)
+    z = np.linspace(0.0, 4.0, 9)
+    np.testing.assert_allclose(
+        np.asarray(d.log_prob(z)), stats.norm(2.0, 0.5).logpdf(z), rtol=1e-5
+    )
+    u = np.linspace(0.01, 0.99, 7)
+    np.testing.assert_allclose(
+        np.asarray(d.icdf(u)), stats.norm(2.0, 0.5).ppf(u), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.cdf(z)), stats.norm(2.0, 0.5).cdf(z), atol=1e-6
+    )
+
+
+def test_uniform_support_and_icdf():
+    d = Uniform(1.0, 3.0)
+    np.testing.assert_allclose(float(d.log_prob(2.0)), -np.log(2.0))
+    assert float(d.log_prob(0.5)) == -np.inf
+    np.testing.assert_allclose(float(d.icdf(0.25)), 1.5)
+    s = d.sample(jax.random.PRNGKey(0), (1000,))
+    assert float(s.min()) >= 1.0 and float(s.max()) <= 3.0
+
+
+def test_marginal_distribution_contract():
+    m = MarginalDistribution([Normal(0.0, 1.0), Uniform(0.0, 1.0)])
+    z = m.sample(jax.random.PRNGKey(0), (100,))
+    assert z.shape == (100, 2)
+    lp = m.log_prob(z)
+    assert lp.shape == (100, 2)  # per-dim, NOT summed (caller sums)
+    u = np.full((1, 2), 0.5)
+    icdf = np.asarray(m.icdf(u))
+    np.testing.assert_allclose(icdf[0, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(icdf[0, 1], 0.5, atol=1e-6)
+
+
+def test_box_mixture_sampling_and_log_prob():
+    lows = np.array([[0.0, 0.0], [2.0, 2.0], [4.0, 0.0]], np.float32)
+    highs = lows + 1.0
+    mix = UniformBoxMixture(lows=lows, highs=highs)
+    s = np.asarray(mix.sample(jax.random.PRNGKey(0), (3000,)))
+    # every sample lies in exactly one box
+    in_box = np.stack(
+        [np.all((s >= lo) & (s <= hi), axis=-1) for lo, hi in zip(lows, highs)]
+    )
+    assert np.all(in_box.sum(axis=0) == 1)
+    # roughly equal weights
+    frac = in_box.mean(axis=1)
+    np.testing.assert_allclose(frac, 1 / 3, atol=0.05)
+    # density: 1/3 per unit box => log(1/3); outside -inf
+    lp = np.asarray(mix.log_prob(np.array([[0.5, 0.5], [10.0, 10.0]])))
+    np.testing.assert_allclose(lp[0], np.log(1 / 3), rtol=1e-5)
+    assert lp[1] == -np.inf
+
+
+def test_box_uniform():
+    d = BoxUniform(low=np.array([0.0, 1.0]), high=np.array([1.0, 3.0]))
+    s = np.asarray(d.sample(jax.random.PRNGKey(1), (500,)))
+    assert s.shape == (500, 2)
+    assert s[:, 1].min() >= 1.0 and s[:, 1].max() <= 3.0
+    np.testing.assert_allclose(
+        float(d.log_prob(np.array([0.5, 2.0]))), -np.log(2.0), rtol=1e-6
+    )
+
+
+def test_make_distribution_registry():
+    assert isinstance(make_distribution("normal", loc=0.0, scale=1.0), Normal)
+    assert isinstance(make_distribution("Uniform", low=0.0, high=1.0), Uniform)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = TrainConfig().replace(lambda_g0=-1.0, model_type="P", n_iter=777)
+    path = str(tmp_path / "cfg.json")
+    cfg.save_json(path)
+    assert TrainConfig.from_json(path) == cfg
