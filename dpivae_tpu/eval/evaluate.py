@@ -138,6 +138,47 @@ def sample_latents(
     )
 
 
+def make_probe_regressor(regressor: str):
+    """The disentanglement probe regressor (ref: dpivae.py:684-693)."""
+    from sklearn.linear_model import LinearRegression
+    from sklearn.neural_network import MLPRegressor
+
+    if regressor == "linear":
+        return LinearRegression()
+    if regressor == "mlp":
+        return MLPRegressor(hidden_layer_sizes=(128, 128), max_iter=20000)
+    raise ValueError(f"Unknown regressor type {regressor}")
+
+
+def fit_disentanglement_probes(
+    latents_train: dict,
+    latents_test: dict,
+    z_train,
+    z_test,
+    factors,
+    regressor: str = "linear",
+) -> List[list]:
+    """Fit per-(factor, latent-block) probes on pre-computed latents and
+    return ``[block, factor, test-R²]`` rows (ref: dpivae.py:678-703).
+
+    ``latents_*`` map block names ("zx", "zc", "zy") to (n, dim) arrays.
+    Shared by the single-run metric and the batched sweep path.
+    """
+    z_train = np.asarray(z_train)
+    z_test = np.asarray(z_test)
+    rows = []
+    for i, factor in enumerate(factors):
+        for block in ("zx", "zc", "zy"):
+            rgr = make_probe_regressor(regressor).fit(
+                np.asarray(latents_train[block]), z_train[:, i]
+            )
+            rows.append(
+                [block, factor.name,
+                 rgr.score(np.asarray(latents_test[block]), z_test[:, i])]
+            )
+    return rows
+
+
 def disentanglement_metric(
     config: TrainConfig,
     model: DPIVAE,
@@ -156,9 +197,6 @@ def disentanglement_metric(
     (z_x, z_c, z_y) to the factor and record the test R². Returns rows
     ``[block, factor, score]``.
     """
-    from sklearn.linear_model import LinearRegression
-    from sklearn.neural_network import MLPRegressor
-
     if key is None:
         key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -173,23 +211,8 @@ def disentanglement_metric(
     zx_te, zc_te, zy_te = sample_latents(
         config, model, params, x_test, c_test, cond=cond, n=n, key=k2
     )
-    z_train = np.asarray(z_train)
-    z_test = np.asarray(z_test)
-
-    def make_regressor():
-        if regressor == "linear":
-            return LinearRegression()
-        if regressor == "mlp":
-            return MLPRegressor(hidden_layer_sizes=(128, 128), max_iter=20000)
-        raise ValueError(f"Unknown regressor type {regressor}")
-
-    rows = []
-    for i, factor in enumerate(case.factors):
-        for block_name, z_tr, z_te in (
-            ("zx", zx_tr, zx_te),
-            ("zc", zc_tr, zc_te),
-            ("zy", zy_tr, zy_te),
-        ):
-            rgr = make_regressor().fit(z_tr, z_train[:, i])
-            rows.append([block_name, factor.name, rgr.score(z_te, z_test[:, i])])
-    return rows
+    return fit_disentanglement_probes(
+        {"zx": zx_tr, "zc": zc_tr, "zy": zy_tr},
+        {"zx": zx_te, "zc": zc_te, "zy": zy_te},
+        z_train, z_test, case.factors, regressor=regressor,
+    )

@@ -72,15 +72,20 @@ def sharded_train_step(
     replicated. The loss sums over the (global) batch, so XLA derives the
     cross-chip grad all-reduce from the sharding annotations.
 
-    Returns (step_fn, init_fn):
-        step_fn(params, opt_state, key, batch, step_idx) -> (params, opt_state, metrics)
+    Returns (step_fn, init_fn, place):
+        step_fn(params, opt_state, key, batch, grl_alpha, betas=(1,1,1))
+            -> (params, opt_state, loss); ``betas`` are the (possibly
+            annealed) beta_x/beta_c/beta_y multipliers — callers running a
+            schedule evaluate it per step and pass the values in.
         init_fn(params) -> opt_state
+        place(params, batch) -> sharded (params, batch)
     """
     tx, _ = make_optimizer(config, model.init(jax.random.PRNGKey(0)))
     denom = config.n_batch * (case.nd_x + case.nd_y + case.nd_c)
 
-    def loss_fn(params, key, batch, grl_alpha):
+    def loss_fn(params, key, batch, grl_alpha, betas):
         x, c, y = batch
+        bx, bc, by = betas
         loss, *_ = model.loss(
             params,
             key,
@@ -89,6 +94,9 @@ def sharded_train_step(
             y,
             n=config.n_mc_train,
             grl_alpha=grl_alpha,
+            beta_x=bx,
+            beta_c=bc,
+            beta_y=by,
             alpha_x=config.alpha_x,
             alpha_c=config.alpha_c,
             alpha_y=config.alpha_y,
@@ -97,12 +105,11 @@ def sharded_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    rep = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(dp_axis))
 
     @jax.jit
-    def step_fn(params, opt_state, key, batch, grl_alpha):
-        value, grads = grad_fn(params, key, batch, grl_alpha)
+    def step_fn(params, opt_state, key, batch, grl_alpha, betas=(1.0, 1.0, 1.0)):
+        value, grads = grad_fn(params, key, batch, grl_alpha, betas)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, value
@@ -118,5 +125,4 @@ def sharded_train_step(
             ),
         )
 
-    del rep
     return step_fn, init_fn, place

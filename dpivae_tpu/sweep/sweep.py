@@ -136,7 +136,7 @@ def train_sweep(
         n_pad = (-n_members) % axis_size
         if n_pad:
             lambdas_p = jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)])
-            keys_p = jnp.concatenate([keys, keys[-n_pad:]])
+            keys_p = jnp.concatenate([keys, keys[-1:].repeat(n_pad, 0)])
         else:
             lambdas_p, keys_p = lambdas, keys
         sharding = NamedSharding(mesh, P(member_axis))

@@ -236,26 +236,56 @@ def build_train_fn(config: TrainConfig, case: Case):
             )
             return state._replace(es=es, key=key), comps
 
+        # Steps past n_iter inside a partial final block must not update
+        # state; with vf | n_iter (the default and every preset) this never
+        # happens and the per-step masking is compiled out (static flag).
+        partial_tail = (n_iter % vf) != 0
+
+        def masked_train_step(state: TrainState, step_idx):
+            new_state, out = train_step(state, step_idx)
+            if partial_tail:
+                live = step_idx < n_iter
+                new_state = TrainState(
+                    params=_tree_select(live, new_state.params, state.params),
+                    opt_state=_tree_select(
+                        live, new_state.opt_state, state.opt_state
+                    ),
+                    es=new_state.es,
+                    key=new_state.key,
+                )
+            return new_state, out
+
         def block(state: TrainState, block_idx):
             """One validation block: step, validate, remaining vf-1 steps
             (matches the reference ordering — validation happens right after
             the train step at iters ≡ 0 mod val_freq, ref: dpivae.py:454).
-            If training was already stopped at block entry, the whole
-            block's state changes are discarded (freeze-when-stopped)."""
+
+            Freeze-when-stopped at block granularity, matching the
+            reference's immediate break exactly:
+            - stopped before the block: the whole block's changes discarded;
+            - stop latched at THIS block's validation: keep only the state
+              right after the first step + val (the reference breaks there);
+            - otherwise: keep everything.
+            """
             start = block_idx * vf
             entry = state
-            state, (row0, active0) = train_step(state, start)
+            state, (row0, active0) = masked_train_step(state, start)
             val_active = jnp.logical_and(~state.es.stopped, start < n_iter)
             state, val_row = val_step(state, start)
+            mid = state  # state at the reference's break point
+            stopped_here = jnp.logical_and(~entry.es.stopped, state.es.stopped)
             state, (rows, actives) = jax.lax.scan(
-                train_step, state, start + 1 + jnp.arange(vf - 1)
+                masked_train_step, state, start + 1 + jnp.arange(vf - 1)
             )
-            block_live = jnp.logical_and(~entry.es.stopped, start < n_iter)
+            entry_live = jnp.logical_and(~entry.es.stopped, start < n_iter)
+
+            def pick(final, mid_t, entry_t):
+                kept = _tree_select(stopped_here, mid_t, final)
+                return _tree_select(entry_live, kept, entry_t)
+
             state = TrainState(
-                params=_tree_select(block_live, state.params, entry.params),
-                opt_state=_tree_select(
-                    block_live, state.opt_state, entry.opt_state
-                ),
+                params=pick(state.params, mid.params, entry.params),
+                opt_state=pick(state.opt_state, mid.opt_state, entry.opt_state),
                 # es latches internally; key may advance freely
                 es=state.es,
                 key=state.key,

@@ -46,7 +46,10 @@ def early_stop_update(
     new_counter = jnp.where(
         improved, 0, jnp.where(worse, state.counter + 1, state.counter)
     ).astype(jnp.int32)
-    newly_stopped = new_counter >= patience
+    # The reference evaluates the stop condition only in the worse-than-best
+    # branch (ref: utils/loss.py:21-24); without the `worse` gate patience=0
+    # would stop on the first validation even when improving.
+    newly_stopped = jnp.logical_and(worse, new_counter >= patience)
     # Latch: once stopped, state no longer changes
     return EarlyStopState(
         best=jnp.where(state.stopped, state.best, new_best),

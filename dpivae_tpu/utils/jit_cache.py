@@ -8,10 +8,16 @@ the whole evaluation/plotting pipeline.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import jax
 import jax.numpy as jnp
 
-_CACHE: dict = {}
+# Bounded LRU: each entry pins a compiled executable (and its model closure)
+# on the device; evaluation/plotting over many distinct model objects must
+# not grow without bound.
+_MAX_ENTRIES = 64
+_CACHE: OrderedDict = OrderedDict()
 
 
 def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
@@ -19,10 +25,16 @@ def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
     x = jnp.asarray(x)
     c = jnp.asarray(c)
     sig = (id(model), x.shape, c.shape, bool(cond), int(n), float(grl_alpha))
-    if sig not in _CACHE:
-        _CACHE[sig] = jax.jit(
+    fn = _CACHE.get(sig)
+    if fn is None:
+        fn = jax.jit(
             lambda p, k, xx, cc: model.sample(
                 p, k, xx, cc, cond=cond, n=n, grl_alpha=grl_alpha
             )
         )
-    return _CACHE[sig](params, key, x, c)
+        _CACHE[sig] = fn
+        while len(_CACHE) > _MAX_ENTRIES:
+            _CACHE.popitem(last=False)
+    else:
+        _CACHE.move_to_end(sig)
+    return fn(params, key, x, c)

@@ -93,8 +93,7 @@ def main():
 
     # Batched latent extraction on device (one vmapped program), then
     # host-side sklearn probes per member (ref: :134-150)
-    from sklearn.linear_model import LinearRegression
-    from sklearn.neural_network import MLPRegressor
+    from dpivae_tpu.eval import fit_disentanglement_probes
 
     latents = sweep_disentanglement_latents(
         cfg, case, result, args.n_train_regressor, args.n_test_regressor,
@@ -104,31 +103,21 @@ def main():
     )
     latents = {k: np.asarray(v) for k, v in latents.items()}
 
-    def make_regressor():
-        if args.regressor == "linear":
-            return LinearRegression()
-        return MLPRegressor(hidden_layer_sizes=(128, 128), max_iter=20000)
-
     df_columns = ["set", "gen_factor", "score", "idx_var", "iter", "lambda"]
     rows_all = []
     list_fail = []
     for m in range(result.n_members):
         i_lambda, j_run = divmod(m, args.n_runs)
         try:
-            for i, factor in enumerate(case.factors):
-                for block in ("zx", "zc", "zy"):
-                    rgr = make_regressor().fit(
-                        latents[f"{block}_train"][m],
-                        latents["z_train"][m][:, i],
-                    )
-                    score = rgr.score(
-                        latents[f"{block}_test"][m],
-                        latents["z_test"][m][:, i],
-                    )
-                    rows_all.append(
-                        [block, factor.name, score, i_lambda, j_run,
-                         float(result.lambdas[m])]
-                    )
+            rows = fit_disentanglement_probes(
+                {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},
+                {b: latents[f"{b}_test"][m] for b in ("zx", "zc", "zy")},
+                latents["z_train"][m], latents["z_test"][m],
+                case.factors, regressor=args.regressor,
+            )
+            rows_all += [
+                r + [i_lambda, j_run, float(result.lambdas[m])] for r in rows
+            ]
         except Exception as e:  # collect, don't abort (ref: :149-150)
             list_fail.append([i_lambda, j_run, m, float(result.lambdas[m]), str(e)])
 

@@ -118,7 +118,7 @@ def main():
     dict_run_pred = {j: {} for j in range(args.n_runs)}
 
     # Train each preset's full (run x domain) grid as one batched program
-    for preset in ("DPIVAE-A", "DPIVAE-B"):
+    for preset_idx, preset in enumerate(("DPIVAE-A", "DPIVAE-B")):
         cfg = base_cfg.with_preset(case.presets[preset])
         print(f"Training {preset}: {n_members} members "
               f"({args.n_runs} runs × {N_DOMAINS} domains) batched ...")
@@ -126,7 +126,9 @@ def main():
             cfg, case,
             lambdas=np.full(n_members, cfg.lambda_g0, np.float32),
             data_train=data_train_stack, data_val=data_val_stack,
-            key=jax.random.fold_in(key, hash(preset) % (2**31)),
+            # stable per-preset stream (hash() is salted per process and
+            # would break reproducibility)
+            key=jax.random.fold_in(key, 10_000 + preset_idx),
         )
         jax.block_until_ready(result.params)
         # Batched evaluation: one vmapped sample over all members

@@ -99,6 +99,31 @@ def test_optimizer_group_structure():
     assert abs(float(np.asarray(w_up)[0, 0])) == pytest.approx(1e-3, rel=1e-3)
 
 
+def test_early_stop_params_match_break_point():
+    """Reference break semantics: once early stopping latches at the
+    validation after iteration k, the returned params must be the state
+    right after step k — NOT after the rest of that block's (discarded)
+    steps. Verified same-program via the logged per-step sigma_x trace
+    (TRAIN_COLUMNS[-1] = exp(log_sigma_x) after each step's update)."""
+    case, cfg, model, data_train, data_val = _setup(
+        n_iter=1500, val_freq=50, patience=0, n_mc_val=1, min_delta=0.0
+    )
+    key = jax.random.PRNGKey(3)
+    p_stop, logs = train_model(cfg, model, case, data_train, data_val, key=key)
+    stop = logs.stop_iter
+    if stop == cfg.n_iter:
+        pytest.skip("early stopping did not trigger for this seed")
+    assert stop % cfg.val_freq == 1  # stops right after a block's validation
+
+    trace = np.asarray(logs.train[:, -1])  # sigma_x after every step
+    final_sigma = float(np.exp(np.asarray(p_stop["log_sigma_x"])))
+    np.testing.assert_allclose(final_sigma, trace[stop - 1], rtol=1e-6)
+    # ...and NOT the state after the discarded remainder of the block
+    # (those steps kept training in the scan; their sigma differs)
+    assert not np.isclose(final_sigma, trace[stop + cfg.val_freq - 2],
+                          rtol=1e-6)
+
+
 def test_batch_sampling_uniform_without_replacement():
     """The top_k-based batch sampler must match choice(replace=False):
     unique indices per step, uniform marginal coverage."""
