@@ -149,6 +149,53 @@ def test_batch_sampling_uniform_without_replacement():
     del jnp
 
 
+def test_grouped_adam_matches_torch_param_groups():
+    """5 optimizer steps on fixed gradients must match torch.optim.Adam
+    with per-group (lr, weight_decay) settings."""
+    import torch
+
+    from dpivae_tpu.train.optim import _grouped_adam
+
+    rng = np.random.RandomState(0)
+    w_enc = rng.randn(4, 3).astype(np.float32)
+    w_dec = rng.randn(5).astype(np.float32)
+    grads_seq = [
+        (rng.randn(4, 3).astype(np.float32), rng.randn(5).astype(np.float32))
+        for _ in range(5)
+    ]
+
+    params = {"enc": jnp.asarray(w_enc), "dec": jnp.asarray(w_dec)}
+    lr_tree = {"enc": 1e-3, "dec": 5e-3}
+    wd_tree = {"enc": 0.01, "dec": 0.0}
+    tx = _grouped_adam(lr_tree, wd_tree, any_wd=True)
+    state = tx.init(params)
+    for g_enc, g_dec in grads_seq:
+        grads = {"enc": jnp.asarray(g_enc), "dec": jnp.asarray(g_dec)}
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    t_enc = torch.tensor(w_enc, requires_grad=True)
+    t_dec = torch.tensor(w_dec, requires_grad=True)
+    opt = torch.optim.Adam(
+        [
+            {"params": [t_enc], "lr": 1e-3, "weight_decay": 0.01},
+            {"params": [t_dec], "lr": 5e-3, "weight_decay": 0.0},
+        ]
+    )
+    for g_enc, g_dec in grads_seq:
+        opt.zero_grad()
+        t_enc.grad = torch.tensor(g_enc)
+        t_dec.grad = torch.tensor(g_dec)
+        opt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["enc"]), t_enc.detach().numpy(), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["dec"]), t_dec.detach().numpy(), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_p_preset_trains():
     case, cfg, model, data_train, data_val = _setup(preset="vae")
     params, logs = train_model(cfg, model, case, data_train, data_val)
