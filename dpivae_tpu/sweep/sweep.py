@@ -14,6 +14,7 @@ into one batched device program:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -91,6 +92,29 @@ def _force(tree) -> None:
     float(np.asarray(leaf).ravel()[0])
 
 
+def _save_chunk(path: str, out) -> None:
+    """Persist one (params, logs) chunk as npz (leaves positionally)."""
+    params, logs = out
+    leaves = jax.tree.leaves(params)
+    payload = {f"p{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload.update(
+        {f"log_{name}": np.asarray(getattr(logs, name))
+         for name in TrainLogs._fields}
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, n_leaves=len(leaves), **payload)
+    os.replace(tmp, path)
+
+
+def _load_chunk(path: str, params_treedef):
+    with np.load(path) as data:
+        leaves = [jnp.asarray(data[f"p{i}"]) for i in range(int(data["n_leaves"]))]
+        logs = TrainLogs(
+            *[jnp.asarray(data[f"log_{name}"]) for name in TrainLogs._fields]
+        )
+    return jax.tree.unflatten(params_treedef, leaves), logs
+
+
 def train_sweep(
     config: TrainConfig,
     case: Case,
@@ -100,6 +124,7 @@ def train_sweep(
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
     chunk_size: Optional[int] = 12,
+    checkpoint_dir: Optional[str] = None,
 ) -> SweepResult:
     """Train the full (λ × run) grid as batched vmapped programs.
 
@@ -115,6 +140,10 @@ def train_sweep(
             the next (bounds single-program device runtime — very long
             executions can trip the TPU transport — and memory). None or
             >= n_members disables chunking.
+        checkpoint_dir: if set (chunked, non-mesh path), every completed
+            chunk is saved as an npz and a rerun of the identical sweep
+            resumes from the completed chunks. The member grid and config
+            must match between runs; chunks are keyed by start index.
 
     Returns:
         SweepResult with leading member axis ordered λ-major
@@ -151,21 +180,38 @@ def train_sweep(
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     batched = jax.jit(batched)
-    if chunk_size is None or chunk_size >= n_members:
+    if (chunk_size is None or chunk_size >= n_members) and checkpoint_dir is None:
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     # Chunked: pad to a chunk multiple so one compile serves every chunk
+    chunk_size = min(chunk_size or n_members, n_members)
     n_pad = (-n_members) % chunk_size
     keys_p = jnp.concatenate([keys, keys[-1:].repeat(n_pad, 0)]) if n_pad else keys
     lambdas_p = (
         jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)]) if n_pad else lambdas
     )
+    params_treedef = None
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        params_treedef = jax.tree.structure(
+            make_template_model(config, case).init(jax.random.PRNGKey(0))
+        )
+
     chunks = []
     for start in range(0, n_members + n_pad, chunk_size):
         sl = slice(start, start + chunk_size)
+        ckpt_path = (
+            None if checkpoint_dir is None
+            else f"{checkpoint_dir}/chunk_{start:06d}.npz"
+        )
+        if ckpt_path is not None and os.path.exists(ckpt_path):
+            chunks.append(_load_chunk(ckpt_path, params_treedef))
+            continue
         out = batched(keys_p[sl], lambdas_p[sl])
         _force(out)
+        if ckpt_path is not None:
+            _save_chunk(ckpt_path, out)
         chunks.append(out)
     params = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
@@ -210,6 +256,15 @@ def sweep_sample(
     )
 
 
+def _member_sharding(mesh: Optional[Mesh], member_axis: str):
+    if mesh is None:
+        return None
+    return lambda a: jax.device_put(
+        jnp.asarray(a),
+        NamedSharding(mesh, P(member_axis, *([None] * (jnp.ndim(a) - 1)))),
+    )
+
+
 def sweep_predict_y(
     config: TrainConfig,
     case: Case,
@@ -220,13 +275,16 @@ def sweep_predict_y(
     cond: bool = False,
     n: int = 1,
     key=None,
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "sweep",
 ):
     """Batched posterior-mean ŷ across members (ref evaluate_model,
     dpivae.py:538-553). Returns (n_members, n_test, nd_y).
 
     Only the MC-mean of y_sample is returned, so at n_mc_test=512 the
     (members x MC x test x nd_x) reconstruction tensors are dead code and
-    XLA never materializes them.
+    XLA never materializes them. With ``mesh``, the member axis is sharded
+    over ``member_axis`` (n_members must divide the axis size evenly).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -240,9 +298,18 @@ def sweep_predict_y(
 
     keys = jax.random.split(key, result.n_members)
     data_train = tuple(jnp.asarray(a) for a in data_train[:3])
-    return jax.jit(jax.vmap(member))(
-        result.params, keys, data_train, jnp.asarray(x), jnp.asarray(c)
-    )
+    params = result.params
+    x = jnp.asarray(x)
+    c = jnp.asarray(c)
+    place = _member_sharding(mesh, member_axis)
+    if place is not None:
+        if result.n_members % mesh.shape[member_axis]:
+            raise ValueError("n_members must be a multiple of the mesh axis")
+        params = jax.tree.map(place, params)
+        keys = place(keys)
+        data_train = jax.tree.map(place, data_train)
+        x, c = place(x), place(c)
+    return jax.jit(jax.vmap(member))(params, keys, data_train, x, c)
 
 
 def sweep_disentanglement_latents(
@@ -255,6 +322,8 @@ def sweep_disentanglement_latents(
     use_mean: bool = False,
     key=None,
     chunk_size: int = 22,
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "sweep",
 ):
     """Device-batched latent extraction for the disentanglement sweep.
 
@@ -265,7 +334,9 @@ def sweep_disentanglement_latents(
 
     Members are processed in ``chunk_size`` batches through one compiled
     program (results concatenated on host) — bounds device memory and blast
-    radius for very large grids.
+    radius for very large grids. With ``mesh``, each chunk's member axis is
+    additionally sharded over ``member_axis`` (make chunk_size a multiple
+    of the mesh axis).
 
     Returns a dict of stacked arrays with leading member axis:
     zx/zc/zy_{train,test} latents and z_{train,test} ground-truth factors.
@@ -311,12 +382,19 @@ def sweep_disentanglement_latents(
     keys_p = pad(result.keys)
     reg_keys_p = pad(reg_keys)
 
+    place = _member_sharding(mesh, member_axis)
+    if place is not None and chunk_size % mesh.shape[member_axis]:
+        raise ValueError("chunk_size must be a multiple of the mesh axis")
+
     chunks = []
     for start in range(0, n_members + n_pad, chunk_size):
         sl = slice(start, start + chunk_size)
-        chunks.append(
-            batched(take(params_p, sl), keys_p[sl], reg_keys_p[sl])
-        )
+        p_sl = take(params_p, sl)
+        k_sl, rk_sl = keys_p[sl], reg_keys_p[sl]
+        if place is not None:
+            p_sl = jax.tree.map(place, p_sl)
+            k_sl, rk_sl = place(k_sl), place(rk_sl)
+        chunks.append(batched(p_sl, k_sl, rk_sl))
     out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
     return jax.tree.map(lambda a: a[:n_members], out)
 

@@ -87,6 +87,8 @@ def main():
     result = train_sweep(
         cfg, case, lambdas=lambdas, n_runs=args.n_runs,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
+        # completed chunks persist; rerunning the same study resumes
+        checkpoint_dir=None if mesh else os.path.join(path_output, "chunks"),
     )
     jax.block_until_ready(result.params)
     print("Sweep training done; running disentanglement probes ...")

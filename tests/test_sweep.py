@@ -74,6 +74,29 @@ def test_sweep_mesh_matches_unsharded():
     )
 
 
+def test_sweep_checkpoint_resume(tmp_path):
+    """Chunk checkpoints: a rerun loads completed chunks and returns
+    identical results without retraining."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(11)
+    ckpt = str(tmp_path / "chunks")
+    res_a = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
+                        key=key, chunk_size=2, checkpoint_dir=ckpt)
+    import os
+
+    files = sorted(os.listdir(ckpt))
+    assert files == ["chunk_000000.npz", "chunk_000002.npz"]
+    # corrupt-resistant resume: second run must load, not retrain
+    res_b = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
+                        key=key, chunk_size=2, checkpoint_dir=ckpt)
+    for a, b in zip(jax.tree.leaves(res_a.params), jax.tree.leaves(res_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(res_a.logs.train), np.asarray(res_b.logs.train)
+    )
+
+
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as graft
 

@@ -46,6 +46,26 @@ def test_sweep_disentanglement_latents_shapes_and_chunking():
     )
 
 
+def test_sweep_eval_on_mesh_matches_unsharded():
+    """Mesh-sharded sweep-eval must equal the unsharded result."""
+    from dpivae_tpu.parallel import make_mesh
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    res = train_sweep(cfg, case, lambdas=[1 / 256, 0.0], n_runs=2)  # 4 members
+    lat_a = sweep_disentanglement_latents(
+        cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=4
+    )
+    mesh = make_mesh(4, axes=("sweep",))
+    lat_b = sweep_disentanglement_latents(
+        cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=4, mesh=mesh
+    )
+    for k in lat_a:
+        np.testing.assert_allclose(
+            np.asarray(lat_a[k]), np.asarray(lat_b[k]), rtol=2e-4, atol=1e-5
+        )
+
+
 def test_sweep_predict_y_matches_member_eval():
     case = get_case("simple_beam")
     cfg = _cfg(case)
