@@ -66,6 +66,33 @@ def test_sweep_eval_on_mesh_matches_unsharded():
         )
 
 
+def test_train_sweep_data_on_mesh():
+    from dpivae_tpu.parallel import make_mesh
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    n_members = 4
+    key = jax.random.PRNGKey(5)
+    dtr, dva = [], []
+    for m in range(n_members):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, m))
+        dtr.append(sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist()))
+        dva.append(sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist()))
+    stack = lambda ds, i: np.stack([np.asarray(d[i]) for d in ds])
+    data_train = tuple(stack(dtr, i) for i in range(3))
+    data_val = tuple(stack(dva, i) for i in range(3))
+    lambdas = np.full(n_members, cfg.lambda_g0, np.float32)
+
+    res_plain = train_sweep_data(cfg, case, lambdas, data_train, data_val, key=key)
+    mesh = make_mesh(4, axes=("sweep",))
+    res_mesh = train_sweep_data(cfg, case, lambdas, data_train, data_val,
+                                key=key, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_plain.logs.train), np.asarray(res_mesh.logs.train),
+        rtol=2e-3, atol=1e-4,
+    )
+
+
 def test_sweep_predict_y_matches_member_eval():
     case = get_case("simple_beam")
     cfg = _cfg(case)
