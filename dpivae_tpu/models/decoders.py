@@ -22,10 +22,17 @@ def decoder_init(key, n_input: int, n_output: int, layers: Sequence[int]) -> dic
 
 
 def decoder_apply(
-    params: dict, z: jnp.ndarray, n_output: int, nonlinearity: Callable = jax.nn.relu
+    params: dict,
+    z: jnp.ndarray,
+    n_output: int,
+    nonlinearity: Callable = jax.nn.relu,
+    nonlinear_last: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (mean, log_sigma) (ref: models/decoders.py:36-49)."""
-    out = mlp_apply(params, z, nonlinearity=nonlinearity)
+    """Returns (mean, log_sigma) (ref: models/decoders.py:36-49).
+    ``nonlinear_last`` optionally wraps the final layer output, as in the
+    reference (unused by the shipped presets)."""
+    out = mlp_apply(params, z, nonlinearity=nonlinearity,
+                    nonlinear_last=nonlinear_last)
     return out[..., :n_output], out[..., n_output:]
 
 
