@@ -142,13 +142,20 @@ def build_train_fn(config: TrainConfig, case: Case):
 
         def schedules(step):
             """Annealed multipliers at a (traced) iteration index
-            (ref: dpivae.py:394-400)."""
-            lam = lambda_sched(step) * lambda_g0
+            (ref: dpivae.py:394-400). Constant (no-annealing) schedules fold
+            to trace-time constants — zero per-step ops at the defaults."""
+
+            def at(sched, scale):
+                const = getattr(sched, "constant_value", None)
+                if const is not None:
+                    return scale * const
+                return scale * sched(step)
+
             return (
-                lam,
-                config.beta_x0 * beta_x_sched(step),
-                config.beta_c0 * beta_c_sched(step),
-                config.beta_y0 * beta_y_sched(step),
+                at(lambda_sched, lambda_g0),
+                at(beta_x_sched, config.beta_x0),
+                at(beta_c_sched, config.beta_c0),
+                at(beta_y_sched, config.beta_y0),
             )
 
         def normalized_loss(p, k, x, c, y, n_mc, betas, denominator, n_points):

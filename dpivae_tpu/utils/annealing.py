@@ -22,6 +22,10 @@ def constant_schedule(value: float = 1.0) -> Schedule:
     def schedule(step):
         return jnp.full_like(jnp.asarray(step, jnp.float32), value)
 
+    # Marker letting jitted consumers fold the multiplier to a Python
+    # constant at trace time (the default "no annealing" config then costs
+    # zero ops per step).
+    schedule.constant_value = value
     return schedule
 
 
