@@ -47,6 +47,17 @@ def test_single_run_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_custom_case_example(tmp_path):
+    """The extensibility example (new case from scratch) runs end-to-end."""
+    res = _run(
+        [os.path.join(REPO, "examples", "custom_case.py"), "--n_iter", "40"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "damage-label test R2" in res.stdout
+
+
+@pytest.mark.slow
 def test_single_run_cli_bad_preset(tmp_path):
     res = _run(
         [os.path.join(REPO, "scripts", "0_single_run.py"),
