@@ -42,6 +42,15 @@ _jax.config.update(
     _os.environ.get("DPIVAE_MATMUL_PRECISION", "highest"),
 )
 
+# Optional fast PRNG: DPIVAE_PRNG=rbg is TPU-hardware-friendly and measured
+# +12% end-to-end training throughput with identical convergence — but rbg
+# streams are NOT batch-shape-independent under vmap (member results then
+# depend on sweep chunk size), so the deterministic threefry stays the
+# default.
+_prng = _os.environ.get("DPIVAE_PRNG", "threefry2x32")
+if _prng != "threefry2x32":
+    _jax.config.update("jax_default_prng_impl", _prng)
+
 # Persistent XLA compilation cache: the fused training scans compile in
 # tens of seconds (remote-compiled on the TPU tunnel); caching makes every
 # rerun of a script/benchmark start instantly. Opt out with
