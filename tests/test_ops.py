@@ -94,6 +94,30 @@ def test_mvn_sample_moments():
     np.testing.assert_allclose(emp_cov, np.asarray(L @ L.T), atol=0.03)
 
 
+def test_mvn_large_dim_fallback_branch():
+    """d > 16 takes the solve_triangular path; must agree with the
+    unrolled small-dim path's math (checked against scipy)."""
+    from scipy.stats import multivariate_normal
+
+    d = 24  # above _SMALL_DIM
+    rng = np.random.RandomState(3)
+    A = rng.randn(d, d).astype(np.float32) * 0.1
+    L = np.tril(A, -1) + np.eye(d, dtype=np.float32) * (1.0 + np.abs(np.diag(A)))
+    loc = rng.randn(d).astype(np.float32)
+    z = rng.randn(5, d).astype(np.float32)
+    got = np.asarray(mvn_log_prob(jnp.asarray(z), jnp.asarray(loc), jnp.asarray(L)))
+    want = multivariate_normal(loc.astype(np.float64), (L @ L.T).astype(np.float64)).logpdf(z.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    # sampling branch too
+    zz, log_q = mvn_sample_with_log_prob(jax.random.PRNGKey(0), jnp.asarray(loc), jnp.asarray(L), 4)
+    assert zz.shape == (4, d)
+    np.testing.assert_allclose(
+        np.asarray(log_q), np.asarray(mvn_log_prob(zz, jnp.asarray(loc), jnp.asarray(L))),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
 def test_mvn_matches_torch_distributions():
     """Golden parity: log densities agree with torch.distributions."""
     import torch
