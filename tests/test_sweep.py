@@ -5,6 +5,7 @@ Runs on the virtual 8-device CPU mesh (conftest)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dpivae_tpu.cases import get_case
 from dpivae_tpu.config import TrainConfig
@@ -103,4 +104,21 @@ def test_graft_entry_single_and_multichip():
     fn, args = graft.entry()
     loss, _ = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
-    graft.dryrun_multichip(8)
+    # In-process: conftest already forces a CPU backend with 8 virtual
+    # devices, which is exactly the environment the hermetic child sets up.
+    graft._dryrun_body(8)
+
+
+@pytest.mark.slow
+def test_graft_dryrun_subprocess_is_hermetic(monkeypatch):
+    """The public dryrun_multichip wrapper must succeed from a process whose
+    default platform is NOT pre-forced to CPU — the round-1 driver failure
+    mode (MULTICHIP_r01.json: eager ops hit the TPU + stale AOT cache)."""
+    import __graft_entry__ as graft
+
+    # Simulate the driver env: no JAX_PLATFORMS, a conflicting device count.
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
+    )
+    graft.dryrun_multichip(4)
