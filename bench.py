@@ -89,15 +89,9 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # the tunneled TPU occasionally faults and
-        # self-heals within a few minutes (see CLAUDE.md); retry once
-        import sys
-        import traceback
+    # Heal only the two known environment fault classes (transient tunnel
+    # drop -> wait + retry; stale libtpu compile cache -> clear + retry);
+    # deterministic failures propagate immediately.
+    from dpivae_tpu.utils.cache_guard import run_with_healing
 
-        traceback.print_exc()
-        print(f"bench failed ({type(e).__name__}); retrying in 240s...",
-              file=sys.stderr)
-        time.sleep(240)
-        main()
+    run_with_healing(main)

@@ -61,10 +61,12 @@ if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
     # artifacts written by the remote-compile service carry mismatched
     # machine features and risk SIGILL on load.
     _cache = "0"
+_compilation_cache_dir = None  # resolved dir; utils.cache_guard clears it
 if _cache not in ("0", "", "off"):
     _cache = _os.path.expanduser(_cache)
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _compilation_cache_dir = _cache
 
 from dpivae_tpu.config import TrainConfig  # noqa: F401

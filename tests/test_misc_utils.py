@@ -42,3 +42,77 @@ def test_timed_records_seconds():
     with timed() as t:
         _ = sum(range(1000))
     assert t["seconds"] >= 0.0
+
+
+# --- cache_guard: environment-fault self-healing ------------------------
+
+
+def test_cache_guard_fault_classification():
+    from dpivae_tpu.utils import cache_guard as cg
+
+    stale = RuntimeError(
+        'FAILED_PRECONDITION: libtpu version mismatch: terminal has "A", '
+        "client AOT libtpu has \"B\""
+    )
+    transient = RuntimeError("UNAVAILABLE: TPU device error: socket closed")
+    bug = ValueError("shapes do not match")
+    assert cg.is_stale_cache_fault(stale)
+    assert not cg.is_stale_cache_fault(transient)
+    assert cg.is_transient_tpu_fault(transient)
+    assert not cg.is_transient_tpu_fault(bug)
+    assert not cg.is_stale_cache_fault(bug)
+
+
+def test_cache_guard_stale_cache_self_heals(tmp_path, monkeypatch):
+    """A forced stale-cache fault must clear the cache dir and retry once."""
+    import dpivae_tpu
+    from dpivae_tpu.utils import cache_guard as cg
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    (cache / "stale_executable.bin").write_bytes(b"\x00" * 8)
+    monkeypatch.setattr(dpivae_tpu, "_compilation_cache_dir", str(cache))
+
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "FAILED_PRECONDITION: libtpu version mismatch: the "
+                "AOT-compiled executable may diverge from the runtime"
+            )
+        return "ok"
+
+    assert cg.run_with_healing(fn) == "ok"
+    assert calls["n"] == 2
+    assert cache.exists() and list(cache.iterdir()) == []
+
+
+def test_cache_guard_deterministic_bug_propagates():
+    from dpivae_tpu.utils.cache_guard import run_with_healing
+
+    def fn():
+        raise ValueError("a real bug")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="a real bug"):
+        run_with_healing(fn)
+
+
+def test_cache_guard_transient_retries_once(monkeypatch):
+    from dpivae_tpu.utils import cache_guard as cg
+
+    monkeypatch.setattr(cg.time, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        raise RuntimeError("UNAVAILABLE: TPU device error")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        cg.run_with_healing(fn)
+    assert calls["n"] == 2  # one heal attempt, then propagate
