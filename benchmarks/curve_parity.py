@@ -20,6 +20,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Strict-parity benchmark: pin full-f32 MXU passes so the JAX curve is
+# compared against the f32 torch replica at matched numerics (the package
+# default is TPU-native bf16 passes, which converge identically but drift
+# per-step).
+os.environ.setdefault("DPIVAE_MATMUL_PRECISION", "highest")
+
 import numpy as np
 
 

@@ -32,14 +32,18 @@ import os as _os
 
 import jax as _jax
 
-# TPU matmuls default to bf16 passes; the models here are tiny (widths
-# 64-256) and entirely HBM/latency-bound, so full-f32 MXU passes cost
-# nothing while keeping surrogate outputs and ELBO terms at parity with the
-# f32 torch reference (observed ~1e-2 abs drift at default precision vs
-# ~1e-4 at highest on the beam surrogate). Override via env if needed.
+# Matmul precision: TPU-native bf16 MXU passes ("default") are the package
+# default. Measured (round 2, 12-member oscillator sweep, full 20k iters):
+# converged val ELBOs are statistically identical to full-f32 "highest"
+# passes, while training runs 1.3x faster single-run (15.2k vs 11.6k
+# steps/s) and 1.9x faster in vmapped sweeps (39.7k vs 20.8k member-steps/s
+# — sweeps are arithmetic-bound, so the 6x-pass f32 emulation is pure
+# cost). Per-step numerics drift ~1e-2 vs the f32 torch reference; code
+# that needs matched numerics (benchmarks/curve_parity.py; CPU tests are
+# unaffected — XLA:CPU is always f32) pins DPIVAE_MATMUL_PRECISION=highest.
 _jax.config.update(
     "jax_default_matmul_precision",
-    _os.environ.get("DPIVAE_MATMUL_PRECISION", "highest"),
+    _os.environ.get("DPIVAE_MATMUL_PRECISION", "default"),
 )
 
 # Optional fast PRNG: DPIVAE_PRNG=rbg is TPU-hardware-friendly and measured
@@ -56,10 +60,14 @@ if _prng != "threefry2x32":
 # rerun of a script/benchmark start instantly. Opt out with
 # DPIVAE_COMPILATION_CACHE=0 or redirect with DPIVAE_COMPILATION_CACHE=<dir>.
 _cache = _os.environ.get("DPIVAE_COMPILATION_CACHE", "~/.cache/dpivae_tpu_xla")
-if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    # CPU runs (tests, driver dry-runs) skip the cache: XLA:CPU AOT
-    # artifacts written by the remote-compile service carry mismatched
-    # machine features and risk SIGILL on load.
+if (
+    _os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    or getattr(_jax.config, "jax_platforms", None) == "cpu"
+):
+    # CPU runs (tests, driver dry-runs — forced via env var OR
+    # jax.config.update before this import) skip the cache: XLA:CPU AOT
+    # artifacts written for another machine carry mismatched machine
+    # features and risk SIGILL on load.
     _cache = "0"
 _compilation_cache_dir = None  # resolved dir; utils.cache_guard clears it
 if _cache not in ("0", "", "off"):

@@ -3,6 +3,13 @@
 Pure jax.sharding recipe: pick a mesh, annotate in/out shardings, let XLA
 insert the collectives (scaling-book style). No NCCL/MPI translation — the
 reference has no distributed layer to translate (SURVEY.md §2).
+
+The FULL trainer is data-parallel through ``train.build_train_fn(...,
+mesh=...)`` / ``train_model(..., mesh=...)`` (scripts expose
+``--n_devices``): every scan-step minibatch and the validation pass carry a
+``dp``-axis sharding constraint and XLA derives the gradient all-reduces.
+``sharded_train_step`` below is the minimal single-step form of the same
+recipe (used for isolated benchmarking and as the building block reference).
 """
 
 from __future__ import annotations

@@ -14,6 +14,7 @@ into one batched device program:
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple, Optional, Sequence
 
@@ -27,6 +28,11 @@ from dpivae_tpu.config import TrainConfig
 from dpivae_tpu.train.setup import make_template_model
 from dpivae_tpu.train.train import TrainLogs, build_train_fn
 from dpivae_tpu.utils.data import sample_response
+from dpivae_tpu.utils.jit_cache import JitLRU
+
+# Compiled sweep programs keyed by (kind, config, case, ...): repeat sweeps
+# (chunk loops, multi-study scripts) must not retrace/re-load per call.
+_SWEEP_JIT_CACHE = JitLRU(maxsize=32)
 
 
 class SweepResult(NamedTuple):
@@ -92,6 +98,24 @@ def _force(tree) -> None:
     float(np.asarray(leaf).ravel()[0])
 
 
+@functools.lru_cache(maxsize=32)
+def _concat_fn(n_members: int):
+    return jax.jit(
+        lambda cs: jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n_members], *cs
+        )
+    )
+
+
+def _concat_chunks(chunks, n_members: int):
+    """Concatenate per-chunk result pytrees along the member axis as ONE
+    jitted program. Eager per-leaf concatenation would issue ~n_leaves
+    remote ops — each a synchronous round trip on the tunneled backend —
+    which measurably dominates chunked-sweep wall time. The jit wrapper is
+    cached so repeat sweeps reuse the compiled program."""
+    return _concat_fn(n_members)(chunks)
+
+
 def _save_chunk(path: str, out) -> None:
     """Persist one (params, logs) chunk as npz (leaves positionally)."""
     params, logs = out
@@ -155,8 +179,10 @@ def train_sweep(
     n_members = lambdas.shape[0]
     keys = jax.random.split(key, n_members)
 
-    member = build_member_fn(config, case)
-    batched = jax.vmap(member)
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_sweep_vmap", config, case.name),
+        lambda: jax.vmap(build_member_fn(config, case)),
+    )
 
     if mesh is not None:
         # Mesh mode: a single sharded program (chunking would fight the
@@ -179,18 +205,24 @@ def train_sweep(
             logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
-    batched = jax.jit(batched)
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_sweep", config, case.name), lambda: jax.jit(batched)
+    )
     if (chunk_size is None or chunk_size >= n_members) and checkpoint_dir is None:
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
-    # Chunked: pad to a chunk multiple so one compile serves every chunk
+    # Chunked: pad to a chunk multiple so one compile serves every chunk.
+    # Chunk arguments are sliced on the HOST (numpy) — on the tunneled
+    # backend every eager device op (a keys[sl] slice, say) costs a remote
+    # round trip that serializes the chunk pipeline.
     chunk_size = min(chunk_size or n_members, n_members)
     n_pad = (-n_members) % chunk_size
-    keys_p = jnp.concatenate([keys, keys[-1:].repeat(n_pad, 0)]) if n_pad else keys
-    lambdas_p = (
-        jnp.concatenate([lambdas, lambdas[-1:].repeat(n_pad)]) if n_pad else lambdas
-    )
+    keys_h = np.asarray(keys)
+    lambdas_h = np.asarray(lambdas)
+    if n_pad:
+        keys_h = np.concatenate([keys_h, keys_h[-1:].repeat(n_pad, 0)])
+        lambdas_h = np.concatenate([lambdas_h, lambdas_h[-1:].repeat(n_pad)])
     params_treedef = None
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -208,21 +240,19 @@ def train_sweep(
         if ckpt_path is not None and os.path.exists(ckpt_path):
             chunks.append(_load_chunk(ckpt_path, params_treedef))
             continue
-        out = batched(keys_p[sl], lambdas_p[sl])
-        _force(out)
+        out = batched(keys_h[sl], lambdas_h[sl])
         if ckpt_path is not None:
+            # Checkpointing needs the results on host chunk-by-chunk anyway;
+            # forcing here also bounds lost work on a fault.
+            _force(out)
             _save_chunk(ckpt_path, out)
+        # Without checkpointing, do NOT force per chunk: jit dispatch is
+        # async, so all chunk programs queue on the device back-to-back and
+        # the per-chunk host round trip is hidden behind compute. (The
+        # ~2-minute transport deadline is per *program*; a queue of short
+        # programs is safe.)
         chunks.append(out)
-    params = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
-        *[c[0] for c in chunks],
-    )
-    logs = TrainLogs(
-        *jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
-            *[tuple(c[1]) for c in chunks],
-        )
-    )
+    params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
 
@@ -247,11 +277,14 @@ def sweep_sample(
         key = jax.random.PRNGKey(0)
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
 
-    sample_fn = build_eval_sample_fn(config, case, cond, n)
+    batched = _SWEEP_JIT_CACHE.get(
+        ("sweep_sample", config, case.name, cond, n),
+        lambda: jax.jit(jax.vmap(build_eval_sample_fn(config, case, cond, n))),
+    )
     n_members = result.n_members
     keys = jax.random.split(key, n_members)
     data_train = tuple(jnp.asarray(a) for a in data_train[:3])
-    return jax.jit(jax.vmap(sample_fn))(
+    return batched(
         result.params, keys, data_train, jnp.asarray(x), jnp.asarray(c)
     )
 
@@ -290,11 +323,14 @@ def sweep_predict_y(
         key = jax.random.PRNGKey(0)
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
 
-    sample_fn = build_eval_sample_fn(config, case, cond, n)
+    def build():
+        sample_fn = build_eval_sample_fn(config, case, cond, n)
 
-    def member(params, k, dtr, xm, cm):
-        out = sample_fn(params, k, dtr, xm, cm)
-        return jnp.mean(out[4], axis=0)
+        def member(params, k, dtr, xm, cm):
+            out = sample_fn(params, k, dtr, xm, cm)
+            return jnp.mean(out[4], axis=0)
+
+        return jax.jit(jax.vmap(member))
 
     keys = jax.random.split(key, result.n_members)
     data_train = tuple(jnp.asarray(a) for a in data_train[:3])
@@ -309,7 +345,10 @@ def sweep_predict_y(
         keys = place(keys)
         data_train = jax.tree.map(place, data_train)
         x, c = place(x), place(c)
-    return jax.jit(jax.vmap(member))(params, keys, data_train, x, c)
+    batched = _SWEEP_JIT_CACHE.get(
+        ("sweep_predict_y", config, case.name, cond, n), build
+    )
+    return batched(params, keys, data_train, x, c)
 
 
 def sweep_disentanglement_latents(
@@ -346,29 +385,36 @@ def sweep_disentanglement_latents(
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
 
     n = config.n_mc_test if use_mean else 1
-    gt_dist = case.gt_dist()
-    sample_fn = build_eval_sample_fn(config, case, cond, n)
 
-    def member(params, member_key, reg_key):
-        k_dtr, _, _, _ = jax.random.split(member_key, 4)  # replay split
-        data_train = sample_response(
-            case, k_dtr, config.n_train, sample_dist=gt_dist
-        )
-        k1, k2, k3, k4 = jax.random.split(reg_key, 4)
-        dtr = sample_response(case, k1, n_train_reg, sample_dist=gt_dist)
-        dte = sample_response(case, k2, n_test_reg, sample_dist=gt_dist)
-        out_tr = sample_fn(params, k3, data_train[:3], dtr[0], dtr[1])
-        out_te = sample_fn(params, k4, data_train[:3], dte[0], dte[1])
-        mean = lambda a: jnp.mean(a, axis=0)
-        return {
-            "zx_train": mean(out_tr[5]), "zc_train": mean(out_tr[6]),
-            "zy_train": mean(out_tr[7]), "z_train": dtr[3],
-            "zx_test": mean(out_te[5]), "zc_test": mean(out_te[6]),
-            "zy_test": mean(out_te[7]), "z_test": dte[3],
-        }
+    def build():
+        gt_dist = case.gt_dist()
+        sample_fn = build_eval_sample_fn(config, case, cond, n)
+
+        def member(params, member_key, reg_key):
+            k_dtr, _, _, _ = jax.random.split(member_key, 4)  # replay split
+            data_train = sample_response(
+                case, k_dtr, config.n_train, sample_dist=gt_dist
+            )
+            k1, k2, k3, k4 = jax.random.split(reg_key, 4)
+            dtr = sample_response(case, k1, n_train_reg, sample_dist=gt_dist)
+            dte = sample_response(case, k2, n_test_reg, sample_dist=gt_dist)
+            out_tr = sample_fn(params, k3, data_train[:3], dtr[0], dtr[1])
+            out_te = sample_fn(params, k4, data_train[:3], dte[0], dte[1])
+            mean = lambda a: jnp.mean(a, axis=0)
+            return {
+                "zx_train": mean(out_tr[5]), "zc_train": mean(out_tr[6]),
+                "zy_train": mean(out_tr[7]), "z_train": dtr[3],
+                "zx_test": mean(out_te[5]), "zc_test": mean(out_te[6]),
+                "zy_test": mean(out_te[7]), "z_test": dte[3],
+            }
+
+        return jax.jit(jax.vmap(member))
 
     reg_keys = jax.random.split(key, result.n_members)
-    batched = jax.jit(jax.vmap(member))
+    batched = _SWEEP_JIT_CACHE.get(
+        ("disent_latents", config, case.name, cond, n, n_train_reg, n_test_reg),
+        build,
+    )
 
     n_members = result.n_members
     chunk_size = min(chunk_size, n_members)
@@ -395,8 +441,7 @@ def sweep_disentanglement_latents(
             p_sl = jax.tree.map(place, p_sl)
             k_sl, rk_sl = place(k_sl), place(rk_sl)
         chunks.append(batched(p_sl, k_sl, rk_sl))
-    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
-    return jax.tree.map(lambda a: a[:n_members], out)
+    return _concat_chunks(chunks, n_members)
 
 
 def train_sweep_data(
@@ -430,16 +475,21 @@ def train_sweep_data(
         key = jax.random.PRNGKey(config.seed)
     keys = jax.random.split(key, n_members)
 
-    template = make_template_model(config, case)
-    train_fn = build_train_fn(config, case)
+    def build():
+        template = make_template_model(config, case)
+        train_fn = build_train_fn(config, case)
 
-    def member(key, lam, dtr, dva):
-        k_init, k_train = jax.random.split(key)
-        params = template.init(k_init)
-        state, logs = train_fn(params, k_train, dtr, dva, lam)
-        return state.params, logs
+        def member(key, lam, dtr, dva):
+            k_init, k_train = jax.random.split(key)
+            params = template.init(k_init)
+            state, logs = train_fn(params, k_train, dtr, dva, lam)
+            return state.params, logs
 
-    batched = jax.jit(jax.vmap(member))
+        return jax.jit(jax.vmap(member))
+
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_sweep_data", config, case.name), build
+    )
     if mesh is not None:
         sharding = NamedSharding(mesh, P(member_axis))
         if n_members % mesh.shape[member_axis]:
@@ -461,7 +511,12 @@ def train_sweep_data(
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     n_pad = (-n_members) % chunk_size
-    pad = lambda a: jnp.concatenate([a, a[-1:].repeat(n_pad, 0)]) if n_pad else a
+    # Host-side (numpy) padding + per-chunk slicing: eager device slices
+    # would serialize the chunk pipeline on the tunneled backend.
+    pad = lambda a: (
+        np.concatenate([np.asarray(a), np.asarray(a)[-1:].repeat(n_pad, 0)])
+        if n_pad else np.asarray(a)
+    )
     keys_p, lambdas_p = pad(keys), pad(lambdas)
     dtr_p = jax.tree.map(pad, data_train)
     dva_p = jax.tree.map(pad, data_val)
@@ -473,16 +528,7 @@ def train_sweep_data(
             jax.tree.map(lambda a: a[sl], dtr_p),
             jax.tree.map(lambda a: a[sl], dva_p),
         )
-        _force(out)
+        # async dispatch; chunk programs queue back-to-back on the device
         chunks.append(out)
-    params = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
-        *[c[0] for c in chunks],
-    )
-    logs = TrainLogs(
-        *jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0)[:n_members],
-            *[tuple(c[1]) for c in chunks],
-        )
-    )
+    params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

@@ -101,12 +101,29 @@ class TrainLogs(NamedTuple):
         return int(mask.sum())
 
 
+def _sample_batch(key, x, c, y, n_train, n_batch):
+    """Uniform batch without replacement (ref: dpivae.py:403-404).
+
+    top_k of iid uniforms selects a uniformly-random size-n_batch subset —
+    same distribution as ``jax.random.choice(replace=False)`` (and the
+    reference's ``torch.multinomial(ones, n, replacement=False)``) but a
+    partial selection instead of a full n_train-key sort.
+    """
+    idx = jax.lax.top_k(jax.random.uniform(key, (n_train,)), n_batch)[1]
+    return x[idx], c[idx], y[idx]
+
+
 def _tree_select(flag, new_tree, old_tree):
     """Leafwise ``flag ? new : old`` (freeze-when-stopped masking)."""
     return jax.tree.map(lambda n, o: jnp.where(flag, n, o), new_tree, old_tree)
 
 
-def build_train_fn(config: TrainConfig, case: Case):
+def build_train_fn(
+    config: TrainConfig,
+    case: Case,
+    mesh=None,
+    dp_axis: str = "dp",
+):
     """Build the full-training function.
 
     Returns ``train_fn(params, key, data_train, data_val, lambda_g0)
@@ -116,7 +133,30 @@ def build_train_fn(config: TrainConfig, case: Case):
       ignored); input scalers are fitted from them inside the trace.
     - ``lambda_g0`` is the GRL strength (a traced scalar so λ-sweeps can
       vmap over it; pass ``config.lambda_g0`` for single runs).
+    - ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp_axis`` axis.
+      Every train minibatch and the validation set are sharded over
+      ``dp_axis`` (params/optimizer state replicated); XLA's SPMD
+      partitioner derives the gradient/loss all-reduces from the
+      annotations — data parallelism without touching the update math.
     """
+    if mesh is not None:
+        n_dp = mesh.shape[dp_axis]
+        if config.n_batch % n_dp or config.n_val % n_dp:
+            raise ValueError(
+                f"n_batch ({config.n_batch}) and n_val ({config.n_val}) "
+                f"must be divisible by the '{dp_axis}' mesh axis ({n_dp})"
+            )
+
+        def shard_batch(a):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec(dp_axis, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec)
+            )
+    else:
+        shard_batch = lambda a: a
+
     n_iter = config.n_iter
     vf = config.val_freq
     n_blocks = -(-n_iter // vf)  # ceil
@@ -132,9 +172,9 @@ def build_train_fn(config: TrainConfig, case: Case):
         x_train = jnp.asarray(data_train[0])
         c_train = jnp.asarray(data_train[1])
         y_train = jnp.asarray(data_train[2])
-        x_val = jnp.asarray(data_val[0])
-        c_val = jnp.asarray(data_val[1])
-        y_val = jnp.asarray(data_val[2])
+        x_val = shard_batch(jnp.asarray(data_val[0]))
+        c_val = shard_batch(jnp.asarray(data_val[1]))
+        y_val = shard_batch(jnp.asarray(data_val[2]))
 
         # Assemble the model with scalers fitted on (traced) train data
         model = setup_model(config, case, (x_train, c_train, y_train))
@@ -195,16 +235,11 @@ def build_train_fn(config: TrainConfig, case: Case):
             ~2x params-size of `where` ops out of the hot step."""
             key, k_batch, k_mc = jax.random.split(state.key, 3)
             betas = schedules(step_idx)
-
-            # Uniform batch without replacement (ref: dpivae.py:403-404).
-            # top_k of iid uniforms selects a uniformly-random size-n_batch
-            # subset — same distribution as jax.random.choice(replace=False)
-            # but a partial selection instead of a full 1024-key sort
-            # (~10% of the step at reference sizes).
-            idx = jax.lax.top_k(
-                jax.random.uniform(k_batch, (config.n_train,)), config.n_batch
-            )[1]
-            x_i, c_i, y_i = x_train[idx], c_train[idx], y_train[idx]
+            x_i, c_i, y_i = _sample_batch(
+                k_batch, x_train, c_train, y_train,
+                config.n_train, config.n_batch,
+            )
+            x_i, c_i, y_i = shard_batch(x_i), shard_batch(c_i), shard_batch(y_i)
 
             (_, comps), grads = loss_grad(
                 state.params, k_mc, x_i, c_i, y_i, config.n_mc_train, betas,
@@ -322,17 +357,19 @@ def build_train_fn(config: TrainConfig, case: Case):
     return train_fn
 
 
-# Cache of jitted train functions keyed by (config, case-name) so repeated
-# train_model calls (e.g. in scripts running several presets) reuse the
-# compiled program.
-_TRAIN_FN_CACHE: dict = {}
+# Bounded cache of jitted train functions keyed by (config, case-name) so
+# repeated train_model calls (e.g. in scripts running several presets)
+# reuse the compiled program without pinning unboundedly many executables.
+from dpivae_tpu.utils.jit_cache import JitLRU  # noqa: E402
+
+_TRAIN_FN_CACHE = JitLRU(maxsize=32)
 
 
-def get_train_fn(config: TrainConfig, case: Case):
-    cache_key = (config, case.name)
-    if cache_key not in _TRAIN_FN_CACHE:
-        _TRAIN_FN_CACHE[cache_key] = jax.jit(build_train_fn(config, case))
-    return _TRAIN_FN_CACHE[cache_key]
+def get_train_fn(config: TrainConfig, case: Case, mesh=None, dp_axis="dp"):
+    return _TRAIN_FN_CACHE.get(
+        (config, case.name, mesh, dp_axis),
+        lambda: jax.jit(build_train_fn(config, case, mesh, dp_axis)),
+    )
 
 
 def train_model(
@@ -343,12 +380,15 @@ def train_model(
     data_val,
     params: Optional[dict] = None,
     key=None,
+    mesh=None,
+    dp_axis: str = "dp",
 ) -> Tuple[dict, TrainLogs]:
     """Train a DPIVAE end-to-end on device (ref: dpivae.py:285-524).
 
     ``model`` is the DPIVAE from ``setup_model`` (used for initialization;
-    the loss path re-derives it from the traced data). Returns
-    (trained params, logs).
+    the loss path re-derives it from the traced data). With ``mesh``, each
+    step's minibatch and the validation pass are data-parallel over the
+    mesh's ``dp_axis`` (see build_train_fn). Returns (trained params, logs).
     """
     if key is None:
         seed = config.seed if config.use_seed else np.random.randint(2**31 - 1)
@@ -357,7 +397,7 @@ def train_model(
     if params is None:
         params = model.init(k_init)
 
-    train_fn = get_train_fn(config, case)
+    train_fn = get_train_fn(config, case, mesh, dp_axis)
     state, logs = train_fn(
         params,
         k_train,

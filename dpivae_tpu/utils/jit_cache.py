@@ -20,6 +20,34 @@ _MAX_ENTRIES = 64
 _CACHE: OrderedDict = OrderedDict()
 
 
+class JitLRU:
+    """Bounded LRU of built (usually jitted) callables keyed by signature.
+
+    Rebuilding ``jax.jit(...)`` wrappers per call retraces and re-loads the
+    executable every time — on the tunneled backend that costs seconds per
+    invocation; and an unbounded dict would pin every compiled program ever
+    built. One shared pattern for train/sweep/eval program caches.
+    """
+
+    def __init__(self, maxsize: int = 64):
+        self._max = maxsize
+        self._entries: OrderedDict = OrderedDict()
+
+    def get(self, key, build):
+        fn = self._entries.get(key)
+        if fn is None:
+            fn = build()
+            self._entries[key] = fn
+            while len(self._entries) > self._max:
+                self._entries.popitem(last=False)
+        else:
+            self._entries.move_to_end(key)
+        return fn
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
 def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
     """model.sample(...) through a compile cache. Returns device arrays."""
     x = jnp.asarray(x)

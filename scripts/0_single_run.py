@@ -36,6 +36,12 @@ def main():
     parser.add_argument("--cond", action="store_true")
     parser.add_argument("--no-plots", action="store_true")
     parser.add_argument("--output", default="output")
+    parser.add_argument(
+        "--n_devices", type=int, default=1,
+        help="data-parallel devices: shards each train/val batch over a "
+             "'dp' mesh axis (params replicated, XLA inserts the gradient "
+             "all-reduce); 1 = single-device program",
+    )
     args = parser.parse_args()
 
     from dpivae_tpu.cases import get_case
@@ -88,8 +94,16 @@ def main():
 
     # Train (ref: 0_single_run.py:96-98)
     model = setup_model(cfg, case, data_train)
+    mesh = None
+    if args.n_devices > 1:
+        from dpivae_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices, axes=("dp",))
+        print(f"Data-parallel over {args.n_devices} devices (mesh axis 'dp')")
     print(f"Training {args.case}/{args.preset} for {cfg.n_iter} iters ...")
-    params, logs = train_model(cfg, model, case, data_train, data_val, key=k_fit)
+    params, logs = train_model(
+        cfg, model, case, data_train, data_val, key=k_fit, mesh=mesh
+    )
     print(f"Done: stopped at iter {logs.stop_iter}, "
           f"final train ELBO {logs.scalars('ELBO')[1][-1]:.4f}, "
           f"final val ELBO {logs.scalars('ELBO_val')[1][-1]:.4f}")

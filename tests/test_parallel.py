@@ -43,3 +43,56 @@ def test_dp_sharded_step_runs_and_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
         )
+
+
+def test_dp_full_training_matches_unsharded():
+    """The REAL trainer (build_train_fn/train_model) with a dp mesh must
+    produce the same full-program trajectory as the unsharded path — the
+    multi-chip story of the actual scripts, not a standalone demo step."""
+    from dpivae_tpu.train.train import get_train_fn
+
+    case = get_case("simple_beam")
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=64, n_val=32, n_batch=16, n_mc_train=2, n_mc_val=4,
+        n_iter=30, val_freq=10, use_seed=True,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    dtr = sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist())
+    dva = sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist())
+    model = setup_model(cfg, case, dtr)
+    params = model.init(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    lam = jax.numpy.asarray(cfg.lambda_g0, jax.numpy.float32)
+
+    mesh = make_mesh(4, axes=("dp",))
+    fn_dp = get_train_fn(cfg, case, mesh)
+    fn_1 = get_train_fn(cfg, case)
+    state_dp, logs_dp = fn_dp(params, key, dtr[:3], dva[:3], lam)
+    state_1, logs_1 = fn_1(params, key, dtr[:3], dva[:3], lam)
+
+    np.testing.assert_allclose(
+        np.asarray(logs_dp.train), np.asarray(logs_1.train),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs_dp.val), np.asarray(logs_1.val),
+        rtol=2e-4, atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+
+def test_dp_mesh_requires_divisible_batch():
+    from dpivae_tpu.train.train import build_train_fn
+    import pytest
+
+    case = get_case("simple_beam")
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_batch=10, n_val=32
+    )
+    mesh = make_mesh(4, axes=("dp",))
+    with pytest.raises(ValueError, match="divisible"):
+        build_train_fn(cfg, case, mesh)

@@ -69,22 +69,40 @@ def test_early_stopping_freezes_state():
     assert logs.stop_iter <= cfg.n_iter
 
 
+def _diverging_setup(**over):
+    """A config that must early-stop: 20x learning rates destabilize
+    training after the initial descent so validation reliably worsens —
+    while staying finite (larger lrs hit NaN, and NaN never latches the
+    stop: both reference and ours dead-zone on NaN comparisons). The CPU
+    test backend is bitwise deterministic, so the stop iteration is a fixed
+    property of (config, seed); the tests assert stop < n_iter loudly
+    instead of if-guarding (VERDICT r1 #5)."""
+    big = {name: 0.02 for name in
+           ("lr", "lr_e", "lr_ex", "lr_ec", "lr_ey",
+            "lr_p", "lr_dx", "lr_dc", "lr_dy")}
+    return _setup(**big, **over)
+
+
 def test_early_stopping_triggers():
-    """Force a stop: patience 1 with an always-increasing val loss is hard to
-    fabricate, so instead run with lr=0 (no learning): val loss is flat, the
-    dead zone never increments, but min_delta<0 makes every val an
-    'improvement'... instead verify the mask machinery via patience=1 and
-    noisy val (MC noise makes some vals worse)."""
-    case, cfg, model, data_train, data_val = _setup(
+    """Deterministic stop: diverging lrs make every validation worse than
+    the first, so patience=1 latches at the second or a later val — the
+    assertion body must always run (no if-guard, VERDICT r1 #5)."""
+    case, cfg, model, data_train, data_val = _diverging_setup(
         n_iter=200, val_freq=10, patience=1, n_mc_val=1, min_delta=0.0
     )
     params, logs = train_model(cfg, model, case, data_train, data_val)
     stop = logs.stop_iter
-    if stop < cfg.n_iter:
-        # all rows after stop are inactive, val rows too
-        assert not np.any(np.asarray(logs.train_active)[stop:])
-        # stop occurs right after a validation step (iter % val_freq == 1)
-        assert stop % cfg.val_freq == 1
+    assert stop < cfg.n_iter, "diverging training must early-stop"
+    # all rows after stop are inactive, val rows too
+    assert not np.any(np.asarray(logs.train_active)[stop:])
+    assert np.all(np.asarray(logs.train_active)[:stop])
+    # stop occurs right after a validation step (iter % val_freq == 1)
+    assert stop % cfg.val_freq == 1
+    # val rows stop at the stopping block
+    val_active = np.asarray(logs.val_active)
+    n_live_blocks = int(val_active.sum())
+    assert n_live_blocks == stop // cfg.val_freq + 1
+    assert not np.any(val_active[n_live_blocks:])
 
 
 def test_optimizer_group_structure():
@@ -105,14 +123,13 @@ def test_early_stop_params_match_break_point():
     right after step k — NOT after the rest of that block's (discarded)
     steps. Verified same-program via the logged per-step sigma_x trace
     (TRAIN_COLUMNS[-1] = exp(log_sigma_x) after each step's update)."""
-    case, cfg, model, data_train, data_val = _setup(
+    case, cfg, model, data_train, data_val = _diverging_setup(
         n_iter=1500, val_freq=50, patience=0, n_mc_val=1, min_delta=0.0
     )
     key = jax.random.PRNGKey(3)
     p_stop, logs = train_model(cfg, model, case, data_train, data_val, key=key)
     stop = logs.stop_iter
-    if stop == cfg.n_iter:
-        pytest.skip("early stopping did not trigger for this seed")
+    assert stop < cfg.n_iter, "diverging training must early-stop"
     assert stop % cfg.val_freq == 1  # stops right after a block's validation
 
     trace = np.asarray(logs.train[:, -1])  # sigma_x after every step
@@ -122,6 +139,41 @@ def test_early_stop_params_match_break_point():
     # (those steps kept training in the scan; their sigma differs)
     assert not np.isclose(final_sigma, trace[stop + cfg.val_freq - 2],
                           rtol=1e-6)
+
+
+def test_partial_tail_block_freezes_at_n_iter():
+    """n_iter=55 with val_freq=10 leaves a half-live final block: the 5
+    steps past n_iter must not advance the returned state, and the logs
+    must truncate to exactly n_iter rows (train/train.py partial_tail
+    masking — previously dead-until-config-change code, VERDICT r1 #5)."""
+    case, cfg, model, data_train, data_val = _setup(
+        n_iter=55, val_freq=10, patience=10**9
+    )
+    params55, logs55 = train_model(cfg, model, case, data_train, data_val)
+    assert logs55.train.shape == (55, len(TRAIN_COLUMNS))
+    assert logs55.stop_iter == 55
+    assert logs55.val.shape == (6, len(VAL_COLUMNS))
+    assert bool(np.all(np.asarray(logs55.val_active)))  # vals at 0..50 live
+
+    # The returned params are the state after step 55 exactly: the per-step
+    # sigma_x trace logs exp(log_sigma_x) right after each update.
+    final_sigma = float(np.exp(np.asarray(params55["log_sigma_x"])))
+    trace55 = np.asarray(logs55.train[:, -1])
+    np.testing.assert_allclose(final_sigma, trace55[54], rtol=1e-6)
+
+    # Same seed with n_iter=60 (no partial tail, default schedules are
+    # n_iter-independent): the first 55 steps must match, proving the
+    # masked tail steps did not perturb the live trajectory. (Tolerance,
+    # not bitwise: the two programs compile with different fusion choices;
+    # measured drift ~2e-7 rel.)
+    case, cfg60, model, data_train, data_val = _setup(
+        n_iter=60, val_freq=10, patience=10**9
+    )
+    params60, logs60 = train_model(cfg60, model, case, data_train, data_val)
+    np.testing.assert_allclose(
+        np.asarray(logs55.train), np.asarray(logs60.train)[:55],
+        rtol=1e-5, atol=1e-5,
+    )
 
 
 def test_batch_sampling_uniform_without_replacement():
