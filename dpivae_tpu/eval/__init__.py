@@ -9,3 +9,8 @@ from dpivae_tpu.eval.evaluate import (  # noqa: F401
     run_comparison,
     sample_latents,
 )
+from dpivae_tpu.eval.probes import (  # noqa: F401
+    batched_probe_scores,
+    fit_linear_probes_batched,
+    fit_mlp_probes_batched,
+)

@@ -7,6 +7,7 @@ stability and replicated exactly (ref: models/encoders.py:33-44,121-128).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -33,10 +34,94 @@ def full_cov_nn_init(key, n_latent: int, n_input: int, layers: Sequence[int]) ->
 def _trunk_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     # The reference trunk applies ReLU after *every* linear, including the
     # last (ref: models/encoders.py:25-31): Linear/ReLU pairs, never popped.
+    # Dispatch on pytree structure: a "conv" entry marks the Conv1d trunk.
+    if "conv" in params["trunk"]:
+        return _cnn_trunk_apply(params["trunk"], x)
     h = x
     for layer in params["trunk"]["layers"]:
         h = jax.nn.relu(linear_apply(layer, h))
     return h
+
+
+# ----------------------------------------------------------------------
+# Conv1d trunk (the reference stubs a CNN encoder option — commented out
+# at ref dpivae.py:198-199/240-241 with dead ch_in/ch_out/ch_latent args at
+# ref utils/__init__.py:112-114 — so this is a working superset, not a
+# translation). The signal axis nd_x is treated as a length-(nd_x/ch_in)
+# 1-D sequence; convs lower onto the MXU as implicit matmuls under XLA.
+# ----------------------------------------------------------------------
+
+
+def conv1d_init(key, ch_in: int, ch_out: int, kernel: int = 3) -> dict:
+    """torch ``nn.Conv1d``-default init: U(-b, b) with b = 1/sqrt(ch_in*k).
+
+    Weight layout (kernel, ch_in, ch_out) = XLA "WIO"."""
+    bound = 1.0 / math.sqrt(ch_in * kernel)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(
+            kw, (kernel, ch_in, ch_out), jnp.float32, -bound, bound
+        ),
+        "b": jax.random.uniform(kb, (ch_out,), jnp.float32, -bound, bound),
+    }
+
+
+def _conv1d_apply(params: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """SAME-padded stride-1 1-D convolution; ``h`` is (batch, length, ch)."""
+    out = jax.lax.conv_general_dilated(
+        h,
+        params["w"],
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + params["b"]
+
+
+def _cnn_trunk_apply(trunk: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Conv/ReLU stack -> flatten -> Linear -> ReLU (the trunk keeps the
+    reference's activation-after-every-layer convention)."""
+    ch_in = trunk["conv"][0]["w"].shape[1]
+    lead = x.shape[:-1]
+    h = jnp.reshape(x, (-1, x.shape[-1] // ch_in, ch_in))
+    for conv in trunk["conv"]:
+        h = jax.nn.relu(_conv1d_apply(conv, h))
+    h = jnp.reshape(h, (h.shape[0], -1))
+    h = jax.nn.relu(linear_apply(trunk["proj"], h))
+    return jnp.reshape(h, (*lead, h.shape[-1]))
+
+
+def cnn_encoder_init(
+    key,
+    n_latent: int,
+    n_input: int,
+    ch_in: int = 1,
+    ch_out: int = 16,
+    ch_latent: int = 64,
+    kernel: int = 3,
+) -> dict:
+    """Full-covariance Gaussian head on a Conv1d trunk.
+
+    Heads (loc / log-sigma / strictly-lower tril) are identical to
+    ``full_cov_nn_init`` so ``gaussian_head_apply`` and all clamp semantics
+    are shared; only the trunk differs.
+    """
+    if n_input % ch_in:
+        raise ValueError(f"nd_x={n_input} not divisible by ch_in={ch_in}")
+    length = n_input // ch_in
+    k_c1, k_c2, k_proj, k_mean, k_sigma, k_cov = jax.random.split(key, 6)
+    return {
+        "trunk": {
+            "conv": (
+                conv1d_init(k_c1, ch_in, ch_out, kernel),
+                conv1d_init(k_c2, ch_out, ch_out, kernel),
+            ),
+            "proj": linear_init(k_proj, length * ch_out, ch_latent),
+        },
+        "f_mean": linear_init(k_mean, ch_latent, n_latent),
+        "f_sigma": linear_init(k_sigma, ch_latent, n_latent),
+        "f_cov": linear_init(k_cov, ch_latent, n_latent * n_latent),
+    }
 
 
 def full_cov_nn_apply(

@@ -59,6 +59,14 @@ class DPIVAE:
     lambda_x: Optional[float] = None
     encoder_layers: Tuple[int, ...] = (64,)  # P-mode per-block encoders
     encoder_layers_s: Tuple[int, ...] = (128,)  # S-mode joint encoder
+    # Encoder architectures: "NN" (MLP trunk) or "CNN" (Conv1d trunk; the
+    # reference stubs this — ref dpivae.py:198-199, commented out)
+    encoder_x_arch: str = "NN"
+    encoder_c_arch: str = "NN"
+    encoder_y_arch: str = "NN"
+    ch_in: int = 1
+    ch_out: int = 16
+    ch_latent: int = 64
     prior_net_layers: Tuple[int, ...] = (64,)
     decoder_aux_layers: Tuple[int, ...] = (64,)
     decoder_x_hidden: int = 128
@@ -116,20 +124,29 @@ class DPIVAE:
             "log_sigma_x": jnp.asarray(0.0, jnp.float32),
         }
 
+        def enc_init(k, arch, n_latent, layers):
+            if arch == "CNN":
+                return encoders.cnn_encoder_init(
+                    k, n_latent, self.nd_x,
+                    ch_in=self.ch_in, ch_out=self.ch_out,
+                    ch_latent=self.ch_latent,
+                )
+            return encoders.full_cov_nn_init(k, n_latent, self.nd_x, layers)
+
         if self.model_type == "S":
             nz = self.nz_x + self.nz_c + self.nz_y
-            params["encoder"] = encoders.full_cov_nn_init(
-                k_enc, nz, self.nd_x, list(self.encoder_layers_s)
+            params["encoder"] = enc_init(
+                k_enc, self.encoder_x_arch, nz, list(self.encoder_layers_s)
             )
         else:  # "P": three per-block encoders over the same x
-            params["encoder"] = encoders.full_cov_nn_init(
-                k_enc, self.nz_x, self.nd_x, list(self.encoder_layers)
+            params["encoder"] = enc_init(
+                k_enc, self.encoder_x_arch, self.nz_x, list(self.encoder_layers)
             )
-            params["encoder_c"] = encoders.full_cov_nn_init(
-                k_enc_c, self.nz_c, self.nd_x, list(self.encoder_layers)
+            params["encoder_c"] = enc_init(
+                k_enc_c, self.encoder_c_arch, self.nz_c, list(self.encoder_layers)
             )
-            params["encoder_y"] = encoders.full_cov_nn_init(
-                k_enc_y, self.nz_y, self.nd_x, list(self.encoder_layers)
+            params["encoder_y"] = enc_init(
+                k_enc_y, self.encoder_y_arch, self.nz_y, list(self.encoder_layers)
             )
         return params
 

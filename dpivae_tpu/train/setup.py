@@ -48,8 +48,13 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
     # Prior-dimension consistency (ref: dpivae.py:129-130)
     if case.nz_x != len(case.prior_x):
         raise ValueError("Prior distribution dimension mismatch with ground truth")
-    if config.encoder_x != "NN":
-        raise ValueError(f"Unknown encoder x choice: {config.encoder_x}")
+    # Encoder architecture selection. The reference only ships "NN" (its
+    # CNN branch is commented out, ref dpivae.py:198-199); here "CNN" is a
+    # working Conv1d option (models/encoders.py cnn_encoder_init).
+    for field in ("encoder_x", "encoder_c", "encoder_y"):
+        choice = getattr(config, field)
+        if choice not in ("NN", "CNN"):
+            raise ValueError(f"Unknown {field} choice: {choice}")
 
     # Input scalers fitted on the training set
     transform_x = StandardScaler.fit(jnp.asarray(x_train))
@@ -90,6 +95,12 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         model_type=config.model_type,
         full_cov_prior=config.full_cov_prior,
         lambda_x=config.lambda_x,
+        encoder_x_arch=config.encoder_x,
+        encoder_c_arch=config.encoder_c,
+        encoder_y_arch=config.encoder_y,
+        ch_in=config.ch_in,
+        ch_out=config.ch_out,
+        ch_latent=config.ch_latent,
         transform_x=transform_x,
         transform_c=transform_c,
         transform_y=transform_y,

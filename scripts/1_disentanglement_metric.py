@@ -34,7 +34,15 @@ def main():
     parser.add_argument("--name", default="disentanglement")
     parser.add_argument("--n_runs", type=int, default=6)
     parser.add_argument("--n_iter", type=int, default=None)
-    parser.add_argument("--regressor", default="linear", choices=["linear", "mlp"])
+    parser.add_argument(
+        "--regressor", default="linear",
+        choices=["linear", "mlp", "linear_jax", "mlp_jax"],
+        help="probe regressor: linear/mlp = per-member sklearn (reference "
+             "semantics, ref dpivae.py:684-693); *_jax = all probes "
+             "trained concurrently as one batched device program",
+    )
+    parser.add_argument("--probe_epochs", type=int, default=300,
+                        help="training epochs for the batched mlp_jax probe")
     parser.add_argument("--n_train_regressor", type=int, default=2048)
     parser.add_argument("--n_test_regressor", type=int, default=2048)
     parser.add_argument("--cond", action="store_true")
@@ -108,21 +116,50 @@ def main():
     df_columns = ["set", "gen_factor", "score", "idx_var", "iter", "lambda"]
     rows_all = []
     list_fail = []
-    for m in range(result.n_members):
-        i_lambda, j_run = divmod(m, args.n_runs)
-        try:
-            rows = fit_disentanglement_probes(
-                {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},
-                {b: latents[f"{b}_test"][m] for b in ("zx", "zc", "zy")},
-                latents["z_train"][m], latents["z_test"][m],
-                case.factors, regressor=args.regressor,
-            )
-            rows_all += [
-                r + [i_lambda, j_run, float(result.lambdas[m])] for r in rows
-            ]
-        except Exception as e:  # collect, don't abort (ref: :149-150)
-            list_fail.append([i_lambda, j_run, m, float(result.lambdas[m]), str(e)])
+    if args.regressor.endswith("_jax"):
+        # All (member, factor, block) probes train as ONE batched device
+        # program instead of M*F*3 serial sklearn fits.
+        from dpivae_tpu.eval import batched_probe_scores
 
+        mlp_kwargs = (
+            {"n_epochs": args.probe_epochs}
+            if args.regressor == "mlp_jax" else {}
+        )
+        scores = batched_probe_scores(
+            {b: latents[f"{b}_train"] for b in ("zx", "zc", "zy")},
+            {b: latents[f"{b}_test"] for b in ("zx", "zc", "zy")},
+            latents["z_train"], latents["z_test"],
+            n_factors=len(case.factors), regressor=args.regressor,
+            key=jax.random.PRNGKey(args.seed + 2),
+            **mlp_kwargs,
+        )
+        for m in range(result.n_members):
+            i_lambda, j_run = divmod(m, args.n_runs)
+            for i, factor in enumerate(case.factors):
+                for k, block in enumerate(("zx", "zc", "zy")):
+                    rows_all.append(
+                        [block, factor.name, float(scores[m, i, k]),
+                         i_lambda, j_run, float(result.lambdas[m])]
+                    )
+    else:
+        for m in range(result.n_members):
+            i_lambda, j_run = divmod(m, args.n_runs)
+            try:
+                rows = fit_disentanglement_probes(
+                    {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},
+                    {b: latents[f"{b}_test"][m] for b in ("zx", "zc", "zy")},
+                    latents["z_train"][m], latents["z_test"][m],
+                    case.factors, regressor=args.regressor,
+                )
+                rows_all += [
+                    r + [i_lambda, j_run, float(result.lambdas[m])] for r in rows
+                ]
+            except Exception as e:  # collect, don't abort (ref: :149-150)
+                list_fail.append(
+                    [i_lambda, j_run, m, float(result.lambdas[m]), str(e)]
+                )
+
+    for m in range(result.n_members):
         # Per-member metric CSVs (ref per-run output dirs, :95-107)
         run_dir = os.path.join(path_output, str(m), "metrics")
         save_logs_csv(result.member_logs(m), run_dir)

@@ -58,6 +58,30 @@ def test_custom_case_example(tmp_path):
 
 
 @pytest.mark.slow
+def test_disentanglement_cli_batched_probes(tmp_path):
+    """Script 1 with the batched mlp_jax probe backend (one device program
+    for all member×factor×block probes) produces the same CSV layout as
+    the sklearn path."""
+    res = _run(
+        [os.path.join(REPO, "scripts", "1_disentanglement_metric.py"),
+         "--case", "damped_oscillator", "--n_runs", "1",
+         "--n_iter", "30", "--lambdas", "0.0", "1.0",
+         "--regressor", "mlp_jax", "--probe_epochs", "30",
+         "--n_train_regressor", "256", "--n_test_regressor", "256",
+         "--latents_chunk", "2", "--output", str(tmp_path)],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    csv = tmp_path / "disentanglement" / "disentanglement_score.csv"
+    rows = np.genfromtxt(csv, delimiter=",", names=True, dtype=None,
+                         encoding="utf-8")
+    # 2 members x 4 oscillator factors x 3 latent blocks
+    assert rows.shape == (24,)
+    assert np.all(np.isfinite(rows["score"]))
+    assert (tmp_path / "disentanglement" / "disentanglement_score.png").exists()
+
+
+@pytest.mark.slow
 def test_single_run_cli_bad_preset(tmp_path):
     res = _run(
         [os.path.join(REPO, "scripts", "0_single_run.py"),
