@@ -16,7 +16,7 @@ import numpy as np
 from dpivae_tpu.cases import Case
 from dpivae_tpu.config import TrainConfig
 from dpivae_tpu.models.vae import DPIVAE
-from dpivae_tpu.utils.jit_cache import cached_sample
+from dpivae_tpu.utils.jit_cache import cached_sample_mean
 from dpivae_tpu.utils.metrics import regression_metrics
 from dpivae_tpu.utils.transforms import StandardScaler
 
@@ -53,11 +53,14 @@ def evaluate_model(
         key = jax.random.PRNGKey(0)
     x_test, c_test, y_test = data_test[0], data_test[1], data_test[2]
 
-    out = cached_sample(
+    # MC mean reduced inside the jitted program: the (n_mc, n_test, d)
+    # sample tensors never materialize as program outputs.
+    (y_mean,) = cached_sample_mean(
         model, params, key, x_test, c_test,
         cond=cond, n=config.n_mc_test, grl_alpha=config.lambda_g0,
+        outputs=(4,),
     )
-    y_pred = np.asarray(jnp.mean(out[4], axis=0))
+    y_pred = np.asarray(y_mean)
 
     metrics = regression_metrics(np.asarray(y_test), y_pred)
     return {config.name: metrics}, {config.name: y_pred}
@@ -127,15 +130,11 @@ def sample_latents(
     """Posterior latents (z_x, z_c, z_y), MC-averaged, as host numpy."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    out = cached_sample(
-        model, params, key, x, c, cond=cond, n=n, grl_alpha=config.lambda_g0
+    zx, zc, zy = cached_sample_mean(
+        model, params, key, x, c, cond=cond, n=n, grl_alpha=config.lambda_g0,
+        outputs=(5, 6, 7),
     )
-    zx, zc, zy = out[5], out[6], out[7]
-    return (
-        np.asarray(jnp.mean(zx, axis=0)),
-        np.asarray(jnp.mean(zc, axis=0)),
-        np.asarray(jnp.mean(zy, axis=0)),
-    )
+    return np.asarray(zx), np.asarray(zc), np.asarray(zy)
 
 
 def make_probe_regressor(regressor: str):

@@ -151,6 +151,49 @@ class UniformBoxMixture:
         return jax.scipy.special.logsumexp(per_comp, axis=0) - jnp.log(float(n_comp))
 
 
+@dataclasses.dataclass(frozen=True)
+class MixtureSameFamily:
+    """Weighted mixture of same-family components — the general analogue
+    of the reference's ``torch.distributions.MixtureSameFamily``
+    (ref: utils/priors.py:110-111, which instantiates it equal-weight over
+    uniform boxes; this version supports arbitrary weights and any
+    component with the ``sample``/``log_prob`` protocol, including
+    vector-event components like ``BoxUniform``).
+    """
+
+    weights: Tuple[float, ...]
+    components: Tuple
+
+    def __post_init__(self):
+        if len(self.weights) != len(self.components):
+            raise ValueError("weights and components length mismatch")
+
+    def _log_weights(self):
+        w = jnp.asarray(self.weights, jnp.float32)
+        return jnp.log(w / jnp.sum(w))
+
+    def sample(self, key, shape: Tuple[int, ...] = ()):
+        k_comp, k_samp = jax.random.split(key)
+        n_comp = len(self.components)
+        comp = jax.random.categorical(k_comp, self._log_weights(), shape=shape)
+        keys = jax.random.split(k_samp, n_comp)
+        samples = jnp.stack(
+            [c.sample(k, shape) for c, k in zip(self.components, keys)], axis=0
+        )
+        onehot = jax.nn.one_hot(comp, n_comp, axis=0, dtype=samples.dtype)
+        onehot = jnp.reshape(
+            onehot, onehot.shape + (1,) * (samples.ndim - onehot.ndim)
+        )
+        return jnp.sum(onehot * samples, axis=0)
+
+    def log_prob(self, z):
+        per_comp = jnp.stack([c.log_prob(z) for c in self.components], axis=0)
+        logw = jnp.reshape(
+            self._log_weights(), (-1,) + (1,) * (per_comp.ndim - 1)
+        )
+        return jax.scipy.special.logsumexp(per_comp + logw, axis=0)
+
+
 _DIST_REGISTRY = {
     "normal": Normal,
     "uniform": Uniform,
@@ -163,6 +206,19 @@ def make_distribution(name: str, **kwargs):
     Case factor tables use string specs (``{"dist": "uniform", "args":
     {"low": ..., "high": ...}}``) instead of the reference's direct
     ``torch.distributions`` class references (ref: cases/simple_beam/
-    __init__.py:25-66), keeping case definitions serializable.
+    __init__.py:25-66), keeping case definitions serializable. Mixtures
+    nest component specs::
+
+        make_distribution("mixture", weights=[0.3, 0.7],
+                          components=[{"dist": "normal",
+                                       "args": {"loc": 0., "scale": 1.}},
+                                      {"dist": "uniform",
+                                       "args": {"low": 2., "high": 3.}}])
     """
+    if name.lower() == "mixture":
+        comps = tuple(
+            make_distribution(spec["dist"], **spec.get("args", {}))
+            for spec in kwargs.pop("components")
+        )
+        return MixtureSameFamily(tuple(kwargs.pop("weights")), comps)
     return _DIST_REGISTRY[name.lower()](**kwargs)

@@ -48,6 +48,39 @@ class JitLRU:
         return len(self._entries)
 
 
+_MEAN_CACHE = JitLRU(_MAX_ENTRIES)
+
+
+def cached_sample_mean(
+    model, params, key, x, c, *, cond: bool, n: int, grl_alpha,
+    outputs=(4,),
+):
+    """MC-mean of selected ``model.sample`` output slots, reduced INSIDE
+    the jitted program.
+
+    The full (n_mc, batch, d) sample tensors never materialize as program
+    outputs — XLA fuses the reduction — matching the pattern the batched
+    sweep eval already uses (sweep/sweep.py reduces in-jit). ``outputs``
+    are indices into the 9-tuple ``model.sample`` returns.
+    """
+    x = jnp.asarray(x)
+    c = jnp.asarray(c)
+    sig = (
+        id(model), x.shape, c.shape, bool(cond), int(n),
+        float(grl_alpha), tuple(outputs),
+    )
+
+    def build():
+        def fn(p, k, xx, cc):
+            out = model.sample(p, k, xx, cc, cond=cond, n=n,
+                               grl_alpha=grl_alpha)
+            return tuple(jnp.mean(out[i], axis=0) for i in outputs)
+
+        return jax.jit(fn)
+
+    return _MEAN_CACHE.get(sig, build)(params, key, x, c)
+
+
 def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
     """model.sample(...) through a compile cache. Returns device arrays."""
     x = jnp.asarray(x)

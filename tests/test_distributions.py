@@ -86,6 +86,70 @@ def test_make_distribution_registry():
     assert isinstance(make_distribution("Uniform", low=0.0, high=1.0), Uniform)
 
 
+def test_mixture_same_family_scalar():
+    # Weighted two-Normal mixture vs scipy: density and sample moments
+    from dpivae_tpu.utils.distributions import MixtureSameFamily
+
+    mix = MixtureSameFamily(
+        weights=(0.25, 0.75),
+        components=(Normal(-2.0, 0.5), Normal(3.0, 1.0)),
+    )
+    zs = np.linspace(-5, 7, 41)
+    ref = 0.25 * stats.norm(-2.0, 0.5).pdf(zs) + 0.75 * stats.norm(3.0, 1.0).pdf(zs)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(mix.log_prob(zs))), ref, rtol=1e-5, atol=1e-12
+    )
+    s = np.asarray(mix.sample(jax.random.PRNGKey(0), (20000,)))
+    assert s.shape == (20000,)
+    np.testing.assert_allclose(s.mean(), 0.25 * -2.0 + 0.75 * 3.0, atol=0.05)
+    # Component occupancy follows the weights
+    frac_right = np.mean(s > 0.5)
+    np.testing.assert_allclose(frac_right, 0.75, atol=0.02)
+
+
+def test_mixture_same_family_vector_event():
+    # Box components (vector event): generalizes UniformBoxMixture with
+    # non-equal weights
+    from dpivae_tpu.utils.distributions import MixtureSameFamily
+
+    b1 = BoxUniform(low=np.zeros(2), high=np.ones(2))
+    b2 = BoxUniform(low=np.array([10.0, 10.0]), high=np.array([12.0, 11.0]))
+    mix = MixtureSameFamily(weights=(1.0, 3.0), components=(b1, b2))
+    s = np.asarray(mix.sample(jax.random.PRNGKey(1), (8000,)))
+    assert s.shape == (8000, 2)
+    in_b2 = s[:, 0] >= 10.0
+    np.testing.assert_allclose(np.mean(in_b2), 0.75, atol=0.02)
+    # log_prob: inside b1 only -> w1 * 1/vol(b1)
+    np.testing.assert_allclose(
+        float(mix.log_prob(np.array([0.5, 0.5]))), np.log(0.25 * 1.0), rtol=1e-5
+    )
+    # equal-weight box mixture agrees with the specialized UniformBoxMixture
+    lows = np.stack([b1.low, b2.low]).astype(np.float32)
+    highs = np.stack([b1.high, b2.high]).astype(np.float32)
+    eq = MixtureSameFamily(weights=(1.0, 1.0), components=(b1, b2))
+    spec = UniformBoxMixture(lows=lows, highs=highs)
+    pts = np.array([[0.5, 0.5], [11.0, 10.5], [5.0, 5.0]], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(eq.log_prob(pts)), np.asarray(spec.log_prob(pts)),
+        rtol=1e-5,
+    )
+
+
+def test_make_distribution_mixture_spec():
+    from dpivae_tpu.utils.distributions import MixtureSameFamily
+
+    mix = make_distribution(
+        "mixture",
+        weights=[0.5, 0.5],
+        components=[
+            {"dist": "normal", "args": {"loc": 0.0, "scale": 1.0}},
+            {"dist": "uniform", "args": {"low": 2.0, "high": 3.0}},
+        ],
+    )
+    assert isinstance(mix, MixtureSameFamily)
+    assert np.isfinite(float(mix.log_prob(2.5)))
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = TrainConfig().replace(lambda_g0=-1.0, model_type="P", n_iter=777)
     path = str(tmp_path / "cfg.json")
