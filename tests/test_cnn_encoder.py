@@ -98,6 +98,24 @@ def test_cnn_trains_and_improves():
     assert np.mean(elbo[-20:]) < np.mean(elbo[:20]) - 1.0
 
 
+def test_cnn_sweep_vmap():
+    # Conv1d trunk must vmap over sweep members (batched conv params)
+    from dpivae_tpu.sweep import train_sweep
+
+    case = get_case("simple_beam")
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=64, n_val=32, n_batch=16, n_iter=20, val_freq=10,
+        n_mc_train=2, n_mc_val=4, use_seed=True,
+        encoder_x="CNN", encoder_c="CNN", encoder_y="CNN",
+    )
+    res = train_sweep(cfg, case, lambdas=[1 / 256, -1.0], n_runs=1)
+    assert res.n_members == 2
+    assert np.all(np.isfinite(np.asarray(res.logs.train)))
+    p0 = jax.tree.leaves(res.member_params(0))[0]
+    p1 = jax.tree.leaves(res.member_params(1))[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
 def test_unknown_encoder_rejected():
     with pytest.raises(ValueError, match="Unknown encoder_x"):
         _setup(encoder_x="RNN")
