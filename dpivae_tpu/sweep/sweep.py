@@ -73,7 +73,9 @@ def build_member_fn(config: TrainConfig, case: Case):
     """One sweep member as a pure function ``(key, lambda) -> (params, logs,
     data_keys)``: sample data, init, train. vmap-ready."""
     template = make_template_model(config, case)
-    train_fn = build_train_fn(config, case)
+    # unroll=False: vmapped members are arithmetic-bound (not
+    # scan-overhead-bound) and unrolling only multiplies compile time.
+    train_fn = build_train_fn(config, case, unroll=False)
     gt_dist = case.gt_dist()
 
     def member(key, lam):
@@ -477,7 +479,7 @@ def train_sweep_data(
 
     def build():
         template = make_template_model(config, case)
-        train_fn = build_train_fn(config, case)
+        train_fn = build_train_fn(config, case, unroll=False)
 
         def member(key, lam, dtr, dva):
             k_init, k_train = jax.random.split(key)

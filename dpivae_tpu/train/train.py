@@ -123,6 +123,7 @@ def build_train_fn(
     case: Case,
     mesh=None,
     dp_axis: str = "dp",
+    unroll: bool | str = "auto",
 ):
     """Build the full-training function.
 
@@ -162,6 +163,22 @@ def build_train_fn(
     n_blocks = -(-n_iter // vf)  # ceil
     denom = config.n_batch * (case.nd_x + case.nd_y + case.nd_c)
     denom_val = config.n_val * (case.nd_x + case.nd_y + case.nd_c)
+
+    # Scan unrolling: straight-lining the short per-block step scan and
+    # pairing outer blocks gives XLA bigger fusion regions, amortizing
+    # per-iteration scan overhead. Measured +11% (21.7k -> 24.0k steps/s
+    # on the beam headline) with bit-identical results (same op sequence).
+    # The cost is compile time (minutes cold on the tunneled TPU), so
+    # "auto" enables it only where it pays: single-program runs on an
+    # accelerator backend. CPU (tests) and vmapped sweeps — which are
+    # arithmetic-bound, not scan-overhead-bound — keep unroll=1.
+    if unroll == "auto":
+        unroll = jax.default_backend() != "cpu"
+    if unroll:
+        inner_unroll = max(1, min(vf - 1, 16))
+        outer_unroll = 2 if n_blocks > 1 else 1
+    else:
+        inner_unroll = outer_unroll = 1
 
     lambda_sched = make_schedule(config.annealing("lambda"), n_iter)
     beta_x_sched = make_schedule(config.annealing("beta_x"), n_iter)
@@ -317,7 +334,8 @@ def build_train_fn(
             mid = state  # state at the reference's break point
             stopped_here = jnp.logical_and(~entry.es.stopped, state.es.stopped)
             state, (rows, actives) = jax.lax.scan(
-                masked_train_step, state, start + 1 + jnp.arange(vf - 1)
+                masked_train_step, state, start + 1 + jnp.arange(vf - 1),
+                unroll=inner_unroll,
             )
             entry_live = jnp.logical_and(~entry.es.stopped, start < n_iter)
 
@@ -343,7 +361,7 @@ def build_train_fn(
             key=key,
         )
         state, (rows, actives, val_rows, val_actives) = jax.lax.scan(
-            block, state, jnp.arange(n_blocks)
+            block, state, jnp.arange(n_blocks), unroll=outer_unroll
         )
         logs = TrainLogs(
             train=rows.reshape(n_blocks * vf, len(TRAIN_COLUMNS))[:n_iter],
