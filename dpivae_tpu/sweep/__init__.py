@@ -10,6 +10,7 @@ parallel; ICI carries nothing but the final gathered results).
 
 from dpivae_tpu.sweep.sweep import (  # noqa: F401
     SweepResult,
+    auto_chunk_size,
     member_datasets,
     sweep_disentanglement_latents,
     sweep_predict_y,

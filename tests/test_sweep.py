@@ -122,3 +122,39 @@ def test_graft_dryrun_subprocess_is_hermetic(monkeypatch):
         "XLA_FLAGS", "--xla_force_host_platform_device_count=2"
     )
     graft.dryrun_multichip(4)
+
+
+def test_auto_chunk_size():
+    from dpivae_tpu.sweep import auto_chunk_size
+
+    # the reference's 66-member study at 20k iters: smallest padding-free
+    # chunk >= 8 (measured optimum; see sweep.auto_chunk_size docstring)
+    assert auto_chunk_size(66, 20_000) == 11
+    # 48-member transfer grid: 8 divides it
+    assert auto_chunk_size(48, 20_000) == 8
+    # small sweeps run as one program
+    assert auto_chunk_size(12, 20_000) == 12
+    assert auto_chunk_size(1, 20_000) == 1
+    # primes: padding-free is impossible; accept the minimum waste in the
+    # flat-throughput region rather than one huge chunk
+    c = auto_chunk_size(67, 20_000)
+    assert 8 <= c <= 22 and (-(-67 // c)) * c - 67 <= 4
+    # very long trainings cap the chunk to respect the transport deadline
+    assert auto_chunk_size(66, 1_000_000) <= 2
+    # every chunking covers all members
+    for n in (17, 23, 48, 66, 100):
+        c = auto_chunk_size(n, 20_000)
+        assert (-(-n // c)) * c >= n
+
+
+def test_train_sweep_auto_chunk_matches_explicit():
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    key = jax.random.PRNGKey(3)
+    res_auto = train_sweep(cfg, case, lambdas=[0.1, -0.5], n_runs=1, key=key,
+                           chunk_size="auto")
+    res_one = train_sweep(cfg, case, lambdas=[0.1, -0.5], n_runs=1, key=key,
+                          chunk_size=1)
+    for a, b in zip(jax.tree.leaves(res_auto.params),
+                    jax.tree.leaves(res_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
