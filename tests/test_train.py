@@ -285,3 +285,24 @@ def test_seeded_training_reproducible():
     )
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_unroll_variants_equivalent():
+    """Scan unrolling must not change training semantics: explicit
+    (inner, outer) unrolling and the rolled program produce the same
+    trajectory (same op sequence; tolerance covers XLA fusion rounding)."""
+    case, cfg, model, dtr, dva = _setup()
+    p_unrolled, l_unrolled = train_model(
+        cfg, model, case, dtr, dva, key=jax.random.PRNGKey(2), unroll=(3, 2)
+    )
+    p_rolled, l_rolled = train_model(
+        cfg, model, case, dtr, dva, key=jax.random.PRNGKey(2), unroll=False
+    )
+    for a, b in zip(jax.tree.leaves(p_unrolled), jax.tree.leaves(p_rolled)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        np.asarray(l_unrolled.train), np.asarray(l_rolled.train),
+        rtol=1e-5, atol=1e-7,
+    )
