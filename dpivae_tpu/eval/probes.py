@@ -23,6 +23,7 @@ Scores are test-set R² exactly as sklearn's ``score``.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple
 
@@ -80,6 +81,46 @@ def _mlp_probe_apply(layers, x):
     return (h @ layers[-1]["w"] + layers[-1]["b"])[..., 0]
 
 
+@functools.lru_cache(maxsize=8)
+def _mlp_probe_run_fn(b: int, n_rows: int, lr: float, alpha: float):
+    """Compiled probe-training program, cached on its static shape/hparam
+    key so repeated calls (multi-study runners, tests) reuse the
+    executable instead of re-tracing the multi-thousand-step scan."""
+    import optax
+
+    tx = optax.adam(lr)
+
+    def loss_fn(p, xb, yb):
+        pred = _mlp_probe_apply(p, xb)
+        sq = 0.5 * jnp.mean((pred - yb) ** 2)
+        l2 = sum(jnp.sum(layer["w"] ** 2) for layer in p)
+        return sq + 0.5 * alpha * l2 / xb.shape[0]
+
+    def member_step(p, opt_state, xb, yb):
+        g = jax.grad(loss_fn)(p, xb, yb)
+        updates, opt_state = tx.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state
+
+    @jax.jit
+    def run(params, keys, X_tr, y_tr, X_te, y_te, mu, sd):
+        def scan_body(carry, k_step):
+            p, opt_state = carry
+            # Shared minibatch indices across probes: rows are iid per
+            # probe, so one index draw serves the whole probe axis.
+            idx = jax.random.randint(k_step, (b,), 0, n_rows)
+            p, opt_state = jax.vmap(member_step)(
+                p, opt_state, X_tr[:, idx, :], y_tr[:, idx]
+            )
+            return (p, opt_state), None
+
+        opt_state = jax.vmap(tx.init)(params)
+        (params, _), _ = jax.lax.scan(scan_body, (params, opt_state), keys)
+        pred = jax.vmap(_mlp_probe_apply)(params, X_te) * sd[:, 0:1] + mu
+        return _r2(y_te, pred)
+
+    return run
+
+
 def fit_mlp_probes_batched(
     X_train,
     y_train,
@@ -93,8 +134,6 @@ def fit_mlp_probes_batched(
     key=None,
 ):
     """Train all P probes concurrently; returns test R² of shape (P,)."""
-    import optax
-
     if key is None:
         key = jax.random.PRNGKey(0)
     X_train = jnp.asarray(X_train, jnp.float32)
@@ -117,36 +156,7 @@ def fit_mlp_probes_batched(
     params = jax.vmap(lambda k: _mlp_probe_init(k, sizes))(
         jax.random.split(k_init, P)
     )
-    tx = optax.adam(lr)
-
-    def loss_fn(p, xb, yb):
-        pred = _mlp_probe_apply(p, xb)
-        sq = 0.5 * jnp.mean((pred - yb) ** 2)
-        l2 = sum(jnp.sum(layer["w"] ** 2) for layer in p)
-        return sq + 0.5 * alpha * l2 / xb.shape[0]
-
-    def member_step(p, opt_state, xb, yb):
-        g = jax.grad(loss_fn)(p, xb, yb)
-        updates, opt_state = tx.update(g, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state
-
-    @jax.jit
-    def run(params, keys, X_tr, y_tr, X_te, y_te, mu, sd):
-        def scan_body(carry, k_step):
-            p, opt_state = carry
-            # Shared minibatch indices across probes: rows are iid per
-            # probe, so one index draw serves the whole probe axis.
-            idx = jax.random.randint(k_step, (b,), 0, N)
-            p, opt_state = jax.vmap(member_step)(
-                p, opt_state, X_tr[:, idx, :], y_tr[:, idx]
-            )
-            return (p, opt_state), None
-
-        opt_state = jax.vmap(tx.init)(params)
-        (params, _), _ = jax.lax.scan(scan_body, (params, opt_state), keys)
-        pred = jax.vmap(_mlp_probe_apply)(params, X_te) * sd[:, 0:1] + mu
-        return _r2(y_te, pred)
-
+    run = _mlp_probe_run_fn(b, N, lr, alpha)
     return run(params, jax.random.split(k_batch, n_steps),
                X_train, y_tr_s, X_test, y_test, mu, sd)
 

@@ -117,11 +117,18 @@ def auto_chunk_size(n_members: int, n_iter: int) -> int:
         return 1
     cap = max(1, min(n_members, int(2_000_000 // max(n_iter, 1))))
     if n_members <= 16:
-        return min(n_members, cap)
+        if cap >= n_members:
+            return n_members  # one program, no padding
+        # cap binds: fall through to the padding-aware choice below
     best, best_score = 1, -1.0
-    for c in range(min(8, cap), cap + 1):
+    for c in range(1, cap + 1):
         waste = -(-n_members // c) * c - n_members
-        rate = 1.0 if c <= 22 else (0.90 if c <= 33 else 0.87)
+        if c >= 8:
+            rate = 1.0 if c <= 22 else (0.90 if c <= 33 else 0.87)
+        else:
+            # Below the measured flat region: mild per-program dispatch
+            # overhead, increasing with chunk count — prefer larger c.
+            rate = 0.90 + 0.0125 * c
         score = rate * n_members / (n_members + waste)
         if score > best_score + 1e-9:
             best, best_score = c, score
@@ -160,13 +167,31 @@ def _save_chunk(path: str, out) -> None:
     os.replace(tmp, path)
 
 
-def _load_chunk(path: str, params_treedef):
+def _load_chunk(path: str, params_treedef, expect_members: int):
+    """Load a saved chunk; None if stale (written under a different
+    chunk size, e.g. before a chunk_size default change — loading it
+    would misalign the concatenated member axis silently)."""
     with np.load(path) as data:
         leaves = [jnp.asarray(data[f"p{i}"]) for i in range(int(data["n_leaves"]))]
         logs = TrainLogs(
             *[jnp.asarray(data[f"log_{name}"]) for name in TrainLogs._fields]
         )
+    if leaves and leaves[0].shape[0] != expect_members:
+        return None
     return jax.tree.unflatten(params_treedef, leaves), logs
+
+
+def _host_keys(keys):
+    """(host_array, wrap) for member keys: typed jax.random.key arrays
+    cannot pass through np.asarray, so slice their raw key data on the
+    host and re-wrap each chunk with the original impl."""
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(keys)
+        data = np.asarray(jax.random.key_data(keys))
+        return data, lambda a: jax.random.wrap_key_data(
+            jnp.asarray(a), impl=impl
+        )
+    return np.asarray(keys), jnp.asarray
 
 
 def train_sweep(
@@ -251,7 +276,7 @@ def train_sweep(
     # round trip that serializes the chunk pipeline.
     chunk_size = min(chunk_size or n_members, n_members)
     n_pad = (-n_members) % chunk_size
-    keys_h = np.asarray(keys)
+    keys_h, wrap_keys = _host_keys(keys)
     lambdas_h = np.asarray(lambdas)
     if n_pad:
         keys_h = np.concatenate([keys_h, keys_h[-1:].repeat(n_pad, 0)])
@@ -271,9 +296,15 @@ def train_sweep(
             else f"{checkpoint_dir}/chunk_{start:06d}.npz"
         )
         if ckpt_path is not None and os.path.exists(ckpt_path):
-            chunks.append(_load_chunk(ckpt_path, params_treedef))
-            continue
-        out = batched(keys_h[sl], lambdas_h[sl])
+            loaded = _load_chunk(ckpt_path, params_treedef, chunk_size)
+            if loaded is not None:
+                chunks.append(loaded)
+                continue
+            print(
+                f"sweep checkpoint {ckpt_path} has a different chunk size "
+                "(stale chunking); recomputing this chunk"
+            )
+        out = batched(wrap_keys(keys_h[sl]), lambdas_h[sl])
         if ckpt_path is not None:
             # Checkpointing needs the results on host chunk-by-chunk anyway;
             # forcing here also bounds lost work on a fault.
@@ -548,18 +579,19 @@ def train_sweep_data(
     n_pad = (-n_members) % chunk_size
     # Host-side (numpy) padding + per-chunk slicing: eager device slices
     # would serialize the chunk pipeline on the tunneled backend.
-    pad = lambda a: (
-        np.concatenate([np.asarray(a), np.asarray(a)[-1:].repeat(n_pad, 0)])
-        if n_pad else np.asarray(a)
+    pad_np = lambda a: (
+        np.concatenate([a, a[-1:].repeat(n_pad, 0)]) if n_pad else a
     )
-    keys_p, lambdas_p = pad(keys), pad(lambdas)
+    pad = lambda a: pad_np(np.asarray(a))
+    keys_h, wrap_keys = _host_keys(keys)
+    keys_p, lambdas_p = pad_np(keys_h), pad(lambdas)
     dtr_p = jax.tree.map(pad, data_train)
     dva_p = jax.tree.map(pad, data_val)
     chunks = []
     for start in range(0, n_members + n_pad, chunk_size):
         sl = slice(start, start + chunk_size)
         out = batched(
-            keys_p[sl], lambdas_p[sl],
+            wrap_keys(keys_p[sl]), lambdas_p[sl],
             jax.tree.map(lambda a: a[sl], dtr_p),
             jax.tree.map(lambda a: a[sl], dva_p),
         )

@@ -83,7 +83,10 @@ def main():
 
     dist_gt = case.gt_dist()
     key = jax.random.PRNGKey(cfg.seed)
-    k_tr, k_va, k_te, k_fit = jax.random.split(key, 4)
+    # 4-way split kept for stream stability: k_tr/k_va/k_te must keep
+    # producing the same datasets as earlier releases; the fourth leg is
+    # unused (training keys come from make_train_key(cfg.seed + 3)).
+    k_tr, k_va, k_te, _ = jax.random.split(key, 4)
     with on_host_cpu():
         data_train = sample_response(case, k_tr, cfg.n_train, sample_dist=dist_gt)
         data_val = sample_response(case, k_va, cfg.n_val, sample_dist=dist_gt)

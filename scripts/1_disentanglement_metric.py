@@ -135,6 +135,16 @@ def main():
         )
         for m in range(result.n_members):
             i_lambda, j_run = divmod(m, args.n_runs)
+            if not np.all(np.isfinite(scores[m])):
+                # Per-member failure isolation, matching the sklearn
+                # path's collect-don't-abort contract: a diverged member
+                # (NaN latents -> NaN probe R²) is recorded, not written
+                # as silent NaN rows.
+                list_fail.append(
+                    [i_lambda, j_run, m, float(result.lambdas[m]),
+                     "non-finite probe scores"]
+                )
+                continue
             for i, factor in enumerate(case.factors):
                 for k, block in enumerate(("zx", "zc", "zy")):
                     rows_all.append(

@@ -158,3 +158,34 @@ def test_train_sweep_auto_chunk_matches_explicit():
     for a, b in zip(jax.tree.leaves(res_auto.params),
                     jax.tree.leaves(res_one.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sweep_checkpoint_stale_chunk_size_recomputes(tmp_path):
+    """A checkpoint chunk written under a different chunk size must be
+    recomputed, not concatenated into a misaligned member axis."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    key = jax.random.PRNGKey(5)
+    lambdas = [0.1, -0.2, 0.4, -0.6]
+    ckpt = str(tmp_path / "chunks")
+    stale = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, key=key,
+                        chunk_size=3, checkpoint_dir=ckpt)
+    # chunk_000000.npz now holds 3 members; resume with chunk_size=2
+    res = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, key=key,
+                      chunk_size=2, checkpoint_dir=ckpt)
+    fresh = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, key=key,
+                        chunk_size=2)
+    for a, b in zip(jax.tree.leaves(res.params), jax.tree.leaves(fresh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    del stale
+
+
+def test_sweep_typed_keys_chunked():
+    """Typed jax.random.key members survive host-side chunk slicing."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    key = jax.random.key(7, impl="threefry2x32")
+    res = train_sweep(cfg, case, lambdas=[0.1, -0.2, 0.4], n_runs=1,
+                      key=key, chunk_size=2)
+    assert res.n_members == 3
+    assert np.all(np.isfinite(np.asarray(res.logs.train)))
