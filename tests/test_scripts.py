@@ -90,3 +90,15 @@ def test_single_run_cli_bad_preset(tmp_path):
     )
     assert res.returncode != 0
     assert "unknown preset" in res.stderr
+
+
+@pytest.mark.slow
+def test_multichip_sweep_example(tmp_path):
+    """The virtual-mesh example (sweep sharding + dp) runs end-to-end."""
+    res = _run(
+        [os.path.join(REPO, "examples", "multichip_sweep.py"),
+         "--n_devices", "4", "--n_iter", "60"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "multichip_sweep OK" in res.stdout
