@@ -53,6 +53,26 @@ class SweepResult(NamedTuple):
     def member_logs(self, i: int) -> TrainLogs:
         return TrainLogs(*jax.tree.map(lambda a: a[i], tuple(self.logs)))
 
+    def host(self) -> "SweepResult":
+        """Copy every field to host numpy in ONE bulk transfer per array.
+
+        Call this before per-member host processing (CSV writes, row
+        loops): on the tunneled TPU backend each eager device slice like
+        ``logs.train[i]`` costs a ~1s remote round trip, so looping
+        ``member_logs`` over 66 device-resident members costs minutes,
+        while the same loop over a host copy is milliseconds (measured
+        98s → ~2s for the 66-member study's per-member CSVs).
+        """
+
+        def to_np(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(
+                a.dtype, jax.dtypes.prng_key
+            ):
+                a = jax.random.key_data(a)
+            return np.asarray(a)
+
+        return SweepResult(*jax.tree.map(to_np, tuple(self)))
+
 
 def member_datasets(config: TrainConfig, case: Case, member_key):
     """Replay a sweep member's (train, val) datasets from its base key.

@@ -112,6 +112,10 @@ def main():
         chunk_size=args.latents_chunk,
     )
     latents = {k: np.asarray(v) for k, v in latents.items()}
+    # One bulk device->host copy; the per-member loops below would
+    # otherwise pay ~1s/member for eager device slices (see
+    # SweepResult.host).
+    result = result.host()
 
     df_columns = ["set", "gen_factor", "score", "idx_var", "iter", "lambda"]
     rows_all = []
