@@ -9,8 +9,10 @@ parallel; ICI carries nothing but the final gathered results).
 """
 
 from dpivae_tpu.sweep.sweep import (  # noqa: F401
+    HyperSweepResult,
     SweepResult,
     auto_chunk_size,
+    train_hyper_sweep,
     member_datasets,
     sweep_disentanglement_latents,
     sweep_predict_y,

@@ -71,7 +71,119 @@ class SweepResult(NamedTuple):
                 a = jax.random.key_data(a)
             return np.asarray(a)
 
-        return SweepResult(*jax.tree.map(to_np, tuple(self)))
+        return type(self)(*jax.tree.map(to_np, tuple(self)))
+
+
+class HyperSweepResult(NamedTuple):
+    """Stacked hyperparameter-sweep results; leading axis = member.
+
+    ``grid`` maps each swept config field to its (n_members,) values."""
+
+    params: dict
+    logs: TrainLogs
+    grid: dict
+    lambdas: jnp.ndarray
+    keys: jnp.ndarray
+
+    n_members = SweepResult.n_members
+    member_params = SweepResult.member_params
+    member_logs = SweepResult.member_logs
+    host = SweepResult.host
+
+    def member_overrides(self, i: int) -> dict:
+        return {k: float(v[i]) for k, v in self.grid.items()}
+
+
+def train_hyper_sweep(
+    config: TrainConfig,
+    case: Case,
+    grid: dict,
+    n_runs: int = 1,
+    lambdas=None,
+    key=None,
+    chunk_size: Union[int, str, None] = "auto",
+) -> HyperSweepResult:
+    """Train a hyperparameter grid as one batched vmapped program.
+
+    The reference has no hyperparameter search at all (its only sweep is
+    the λ-grid, trained serially); here any subset of
+    ``train.TRACEABLE_HYPER_FIELDS`` (per-group learning rates, weight
+    decays, grad-clip norm, β/α loss weights) sweeps as *traced* member
+    inputs — one compile for the whole grid, same mechanics as
+    ``train_sweep``.
+
+    Args:
+        grid: field name -> sequence of per-member values; all sequences
+            share one length M. The cross product is the caller's job
+            (pass pre-crossed columns) — members are rows, not axes.
+        n_runs: seeds per grid row (member = i_row * n_runs + i_run).
+        lambdas: optional per-row GRL strengths (default config.lambda_g0).
+
+    Returns:
+        HyperSweepResult ordered row-major over (grid row, run).
+    """
+    fields = tuple(sorted(grid))
+    if not fields:
+        raise ValueError("grid must contain at least one field")
+    cols = [np.asarray(grid[f], np.float32).reshape(-1) for f in fields]
+    n_rows = cols[0].shape[0]
+    for f, c in zip(fields, cols):
+        if c.shape[0] != n_rows:
+            raise ValueError(
+                f"grid column {f!r} has {c.shape[0]} values, expected {n_rows}"
+            )
+    if lambdas is None:
+        lam_rows = np.full(n_rows, config.lambda_g0, np.float32)
+    else:
+        lam_rows = np.asarray(lambdas, np.float32).reshape(-1)
+        if lam_rows.shape[0] != n_rows:
+            raise ValueError("lambdas must match the grid length")
+    # Expand rows by runs (row-major, like train_sweep's λ-major order)
+    rep = lambda a: np.repeat(a, n_runs, axis=0)
+    cols = [rep(c) for c in cols]
+    lam_m = jnp.asarray(rep(lam_rows))
+    hyper_m = tuple(jnp.asarray(c) for c in cols)
+    n_members = n_rows * n_runs
+
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+    keys = jax.random.split(key, n_members)
+
+    def build():
+        member = build_member_fn(config, case, hyper_fields=fields)
+        return jax.jit(jax.vmap(member))
+
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_hyper_sweep", config, case.name, fields), build
+    )
+
+    grid_out = dict(zip(fields, cols))
+    if chunk_size == "auto":
+        chunk_size = auto_chunk_size(n_members, config.n_iter)
+    if chunk_size is None or chunk_size >= n_members:
+        params, logs = batched(keys, lam_m, hyper_m)
+        return HyperSweepResult(params, logs, grid_out, lam_m, keys)
+
+    n_pad = (-n_members) % chunk_size
+    pad = lambda a: (
+        np.concatenate([np.asarray(a), np.asarray(a)[-1:].repeat(n_pad, 0)])
+        if n_pad else np.asarray(a)
+    )
+    keys_h, wrap_keys = _host_keys(keys)
+    keys_p = np.concatenate([keys_h, keys_h[-1:].repeat(n_pad, 0)]) \
+        if n_pad else keys_h
+    lam_p = pad(lam_m)
+    hyper_p = tuple(pad(c) for c in hyper_m)
+    chunks = []
+    for start in range(0, n_members + n_pad, chunk_size):
+        sl = slice(start, start + chunk_size)
+        out = batched(
+            wrap_keys(keys_p[sl]), lam_p[sl],
+            tuple(c[sl] for c in hyper_p),
+        )
+        chunks.append(out)
+    params, logs = _concat_chunks(chunks, n_members)
+    return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
 
 def member_datasets(config: TrainConfig, case: Case, member_key):
@@ -89,16 +201,20 @@ def member_datasets(config: TrainConfig, case: Case, member_key):
     return data_train, data_val
 
 
-def build_member_fn(config: TrainConfig, case: Case):
-    """One sweep member as a pure function ``(key, lambda) -> (params, logs,
-    data_keys)``: sample data, init, train. vmap-ready."""
+def build_member_fn(config: TrainConfig, case: Case, hyper_fields: tuple = ()):
+    """One sweep member as a pure function ``(key, lambda[, hyper]) ->
+    (params, logs)``: sample data, init, train. vmap-ready. With
+    ``hyper_fields``, the extra ``hyper`` tuple carries per-member traced
+    config overrides (see train.TRACEABLE_HYPER_FIELDS)."""
     template = make_template_model(config, case)
     # unroll=False: vmapped members are arithmetic-bound (not
     # scan-overhead-bound) and unrolling only multiplies compile time.
-    train_fn = build_train_fn(config, case, unroll=False)
+    train_fn = build_train_fn(
+        config, case, unroll=False, hyper_fields=hyper_fields
+    )
     gt_dist = case.gt_dist()
 
-    def member(key, lam):
+    def member(key, lam, *hyper):
         k_dtr, k_dva, k_init, k_train = jax.random.split(key, 4)
         data_train = sample_response(
             case, k_dtr, config.n_train, sample_dist=gt_dist
@@ -106,7 +222,7 @@ def build_member_fn(config: TrainConfig, case: Case):
         data_val = sample_response(case, k_dva, config.n_val, sample_dist=gt_dist)
         params = template.init(k_init)
         state, logs = train_fn(
-            params, k_train, data_train[:3], data_val[:3], lam
+            params, k_train, data_train[:3], data_val[:3], lam, *hyper
         )
         return state.params, logs
 

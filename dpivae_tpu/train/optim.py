@@ -23,33 +23,45 @@ import optax
 from dpivae_tpu.config import TrainConfig
 
 
-def group_hparams(config: TrainConfig) -> dict:
+def group_hparams(config: TrainConfig, overlay: dict | None = None) -> dict:
     """(lr, wd) per top-level params group (ref: dpivae.py:338-363):
     P-mode encoders use lr_ex/lr_ec/lr_ey, S-mode the single lr_e; prior
-    nets share lr_p; decoders lr_dx/lr_dc/lr_dy; the noise scalar lr_sigma."""
+    nets share lr_p; decoders lr_dx/lr_dc/lr_dy; the noise scalar lr_sigma.
+
+    ``overlay`` maps config field names to replacement values; traced
+    (jax scalar) values are allowed — lr/wd enter the update only
+    multiplicatively, so hyperparameter sweeps can vmap over them."""
+    ov = (overlay or {}).get
+    f = lambda name: ov(name, getattr(config, name))
     if config.model_type == "P":
         enc = {
-            "encoder": (config.lr_ex, config.wd_e),
-            "encoder_c": (config.lr_ec, config.wd_e),
-            "encoder_y": (config.lr_ey, config.wd_e),
+            "encoder": (f("lr_ex"), f("wd_e")),
+            "encoder_c": (f("lr_ec"), f("wd_e")),
+            "encoder_y": (f("lr_ey"), f("wd_e")),
         }
     elif config.model_type == "S":
-        enc = {"encoder": (config.lr_e, config.wd_e)}
+        enc = {"encoder": (f("lr_e"), f("wd_e"))}
     else:
         raise ValueError(f"Unknown model type {config.model_type}")
     return {
         **enc,
-        "prior_net_c": (config.lr_p, config.wd_p),
-        "prior_net_y": (config.lr_p, config.wd_p),
-        "decoder_x": (config.lr_dx, config.wd_dx),
-        "decoder_c": (config.lr_dc, config.wd_dc),
-        "decoder_y": (config.lr_dy, config.wd_dy),
-        "log_sigma_x": (config.lr_sigma, config.wd_sigma),
+        "prior_net_c": (f("lr_p"), f("wd_p")),
+        "prior_net_y": (f("lr_p"), f("wd_p")),
+        "decoder_x": (f("lr_dx"), f("wd_dx")),
+        "decoder_c": (f("lr_dc"), f("wd_dc")),
+        "decoder_y": (f("lr_dy"), f("wd_dy")),
+        "log_sigma_x": (f("lr_sigma"), f("wd_sigma")),
     }
 
 
-def _hparam_trees(config: TrainConfig, params: dict):
-    groups = group_hparams(config)
+def _static_nonzero(v) -> bool:
+    """True unless v is a static Python zero (a traced value may be
+    anything at runtime, so it must keep the decay term in the graph)."""
+    return not isinstance(v, (int, float)) or bool(v)
+
+
+def _hparam_trees(config: TrainConfig, params: dict, overlay=None):
+    groups = group_hparams(config, overlay)
     missing = set(params) - set(groups)
     if missing:
         raise ValueError(f"Params groups without an optimizer: {sorted(missing)}")
@@ -61,7 +73,7 @@ def _hparam_trees(config: TrainConfig, params: dict):
         name: jax.tree.map(lambda _: groups[name][1], subtree)
         for name, subtree in params.items()
     }
-    any_wd = any(groups[name][1] for name in params)
+    any_wd = any(_static_nonzero(groups[name][1]) for name in params)
     return lr_tree, wd_tree, any_wd
 
 
@@ -84,13 +96,17 @@ def _grouped_adam(lr_tree, wd_tree, any_wd) -> optax.GradientTransformation:
 
 
 def make_optimizer(
-    config: TrainConfig, params: dict
+    config: TrainConfig, params: dict, overlay: dict | None = None
 ) -> Tuple[optax.GradientTransformation, optax.OptState]:
-    """Build the per-module optimizer and its initial state."""
-    lr_tree, wd_tree, any_wd = _hparam_trees(config, params)
+    """Build the per-module optimizer and its initial state.
+
+    ``overlay`` optionally replaces lr/wd/max_grad_norm fields, possibly
+    with traced scalars (see group_hparams)."""
+    lr_tree, wd_tree, any_wd = _hparam_trees(config, params, overlay)
     tx = _grouped_adam(lr_tree, wd_tree, any_wd)
     if config.clip_gradients:
         # Global-norm clip over all params before the per-group updates
         # (ref: dpivae.py:432-433)
-        tx = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), tx)
+        max_norm = (overlay or {}).get("max_grad_norm", config.max_grad_norm)
+        tx = optax.chain(optax.clip_by_global_norm(max_norm), tx)
     return tx, tx.init(params)

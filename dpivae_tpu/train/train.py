@@ -118,12 +118,27 @@ def _tree_select(flag, new_tree, old_tree):
     return jax.tree.map(lambda n, o: jnp.where(flag, n, o), new_tree, old_tree)
 
 
+# Config fields that may be overridden per-run with *traced* scalars:
+# they enter the program only multiplicatively (optimizer scaling, loss
+# weights), so hyperparameter sweeps can vmap members over them without
+# retracing (see sweep.train_hyper_sweep).
+TRACEABLE_HYPER_FIELDS = frozenset({
+    "lr_e", "lr_ex", "lr_ec", "lr_ey", "lr_p",
+    "lr_dx", "lr_dc", "lr_dy", "lr_sigma",
+    "wd_e", "wd_p", "wd_dx", "wd_dc", "wd_dy", "wd_sigma",
+    "max_grad_norm",
+    "beta_x0", "beta_c0", "beta_y0",
+    "alpha_x", "alpha_c", "alpha_y",
+})
+
+
 def build_train_fn(
     config: TrainConfig,
     case: Case,
     mesh=None,
     dp_axis: str = "dp",
     unroll: bool | str = "auto",
+    hyper_fields: tuple = (),
 ):
     """Build the full-training function.
 
@@ -146,7 +161,18 @@ def build_train_fn(
       minutes of one-time compile per config on the tunneled TPU — worth
       it for re-run/production programs (the persistent compilation cache
       amortizes it to once per machine), not for throwaway configs.
+    - ``hyper_fields``: names from ``TRACEABLE_HYPER_FIELDS``. When
+      non-empty, ``train_fn`` takes a sixth argument ``hyper`` — a tuple
+      of scalars aligned with ``hyper_fields`` that override the config's
+      values *as traced inputs*, so a hyperparameter grid can train as
+      one vmapped program (lr/wd/β/α sweeps without recompiling).
     """
+    for name in hyper_fields:
+        if name not in TRACEABLE_HYPER_FIELDS:
+            raise ValueError(
+                f"{name!r} is not traceable per-run; allowed: "
+                f"{sorted(TRACEABLE_HYPER_FIELDS)}"
+            )
     if mesh is not None:
         n_dp = mesh.shape[dp_axis]
         if config.n_batch % n_dp or config.n_val % n_dp:
@@ -194,7 +220,8 @@ def build_train_fn(
     beta_c_sched = make_schedule(config.annealing("beta_c"), n_iter)
     beta_y_sched = make_schedule(config.annealing("beta_y"), n_iter)
 
-    def train_fn(params, key, data_train, data_val, lambda_g0):
+    def _impl(params, key, data_train, data_val, lambda_g0, overlay):
+        ov = lambda name: overlay.get(name, getattr(config, name))
         x_train = jnp.asarray(data_train[0])
         c_train = jnp.asarray(data_train[1])
         y_train = jnp.asarray(data_train[2])
@@ -204,7 +231,7 @@ def build_train_fn(
 
         # Assemble the model with scalers fitted on (traced) train data
         model = setup_model(config, case, (x_train, c_train, y_train))
-        tx, _ = make_optimizer(config, params)
+        tx, _ = make_optimizer(config, params, overlay)
 
         def schedules(step):
             """Annealed multipliers at a (traced) iteration index
@@ -219,9 +246,9 @@ def build_train_fn(
 
             return (
                 at(lambda_sched, lambda_g0),
-                at(beta_x_sched, config.beta_x0),
-                at(beta_c_sched, config.beta_c0),
-                at(beta_y_sched, config.beta_y0),
+                at(beta_x_sched, ov("beta_x0")),
+                at(beta_c_sched, ov("beta_c0")),
+                at(beta_y_sched, ov("beta_y0")),
             )
 
         def normalized_loss(p, k, x, c, y, n_mc, betas, denominator, n_points):
@@ -230,9 +257,9 @@ def build_train_fn(
                 p, k, x, c, y,
                 n=n_mc,
                 beta_x=bx, beta_c=bc, beta_y=by,
-                alpha_x=config.alpha_x,
-                alpha_c=config.alpha_c,
-                alpha_y=config.alpha_y,
+                alpha_x=ov("alpha_x"),
+                alpha_c=ov("alpha_c"),
+                alpha_y=ov("alpha_y"),
                 grl_alpha=lam,
             )
             # Normalization (ref: dpivae.py:419-426)
@@ -380,6 +407,22 @@ def build_train_fn(
             val_iters=jnp.arange(n_blocks) * vf,
         )
         return state, logs
+
+    if hyper_fields:
+
+        def train_fn(params, key, data_train, data_val, lambda_g0, hyper):
+            if len(hyper) != len(hyper_fields):
+                raise ValueError(
+                    f"hyper has {len(hyper)} entries for fields {hyper_fields}"
+                )
+            return _impl(
+                params, key, data_train, data_val, lambda_g0,
+                dict(zip(hyper_fields, hyper)),
+            )
+    else:
+
+        def train_fn(params, key, data_train, data_val, lambda_g0):
+            return _impl(params, key, data_train, data_val, lambda_g0, {})
 
     return train_fn
 

@@ -189,3 +189,63 @@ def test_sweep_typed_keys_chunked():
                       key=key, chunk_size=2)
     assert res.n_members == 3
     assert np.all(np.isfinite(np.asarray(res.logs.train)))
+
+
+def test_hyper_sweep_identity_and_effect():
+    """Sweeping a field at its config value reproduces the vanilla sweep
+    member exactly; different values produce different training."""
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    key = jax.random.PRNGKey(9)
+    res = train_hyper_sweep(
+        cfg, case, grid={"lr_e": [cfg.lr_e, cfg.lr_e * 10.0]},
+        key=key,
+    )
+    assert res.n_members == 2
+    assert res.member_overrides(1)["lr_e"] == pytest.approx(cfg.lr_e * 10)
+    vanilla = train_sweep(
+        cfg, case, lambdas=[cfg.lambda_g0, cfg.lambda_g0], n_runs=1, key=key
+    )
+    # member 0 swept at the config value == vanilla member 0 (same key)
+    for a, b in zip(
+        jax.tree.leaves(res.member_params(0)),
+        jax.tree.leaves(vanilla.member_params(0)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # member 1 trained with 10x lr must differ
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree.leaves(res.member_params(1)),
+            jax.tree.leaves(vanilla.member_params(1)),
+        )
+    ]
+    assert max(diffs) > 1e-4
+
+
+def test_hyper_sweep_multi_field_chunked():
+    """Multi-field grids (wd + beta) train chunked with finite logs."""
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    res = train_hyper_sweep(
+        cfg, case,
+        grid={"wd_e": [0.0, 1e-3, 1e-2], "beta_x0": [1.0, 0.5, 2.0]},
+        key=jax.random.PRNGKey(11), chunk_size=2,
+    )
+    assert res.n_members == 3
+    assert np.all(np.isfinite(np.asarray(res.logs.train)))
+    host = res.host()
+    assert isinstance(host.member_logs(2).train, np.ndarray)
+
+
+def test_hyper_sweep_rejects_untraceable_field():
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    with pytest.raises(ValueError, match="not traceable"):
+        train_hyper_sweep(cfg, case, grid={"n_batch": [8, 16]})
