@@ -17,6 +17,15 @@ import numpy as np
 from dpivae_tpu.train.train import TRAIN_COLUMNS, VAL_COLUMNS, TrainLogs
 
 
+def _write_csv(path: str, columns, arrays) -> None:
+    """pandas' C csv writer — ~2x faster than np.savetxt's Python-level
+    row formatting, which dominated multi-member study IO (66 members ×
+    23 files × 20k rows)."""
+    import pandas as pd
+
+    pd.DataFrame(dict(zip(columns, arrays))).to_csv(path, index=False)
+
+
 def save_logs_csv(logs: TrainLogs, path_metrics: str) -> None:
     """Write per-series CSVs (``<name>.csv`` with iter,value rows) and
     combined ``train.csv``/``val.csv`` tables under ``path_metrics``."""
@@ -29,31 +38,23 @@ def save_logs_csv(logs: TrainLogs, path_metrics: str) -> None:
     t_iters = np.arange(train.shape[0])[t_mask]
     v_iters = np.asarray(logs.val_iters)[v_mask]
 
-    header = "iter," + ",".join(TRAIN_COLUMNS)
-    np.savetxt(
+    _write_csv(
         os.path.join(path_metrics, "train.csv"),
-        np.column_stack([t_iters, train[t_mask]]),
-        delimiter=",",
-        header=header,
-        comments="",
+        ["iter", *TRAIN_COLUMNS],
+        [t_iters, *train[t_mask].T],
     )
-    header = "iter," + ",".join(VAL_COLUMNS)
-    np.savetxt(
+    _write_csv(
         os.path.join(path_metrics, "val.csv"),
-        np.column_stack([v_iters, val[v_mask]]),
-        delimiter=",",
-        header=header,
-        comments="",
+        ["iter", *VAL_COLUMNS],
+        [v_iters, *val[v_mask].T],
     )
 
     for name in TRAIN_COLUMNS + VAL_COLUMNS:
         iters, vals = logs.scalars(name)
-        np.savetxt(
+        _write_csv(
             os.path.join(path_metrics, f"{name}.csv"),
-            np.column_stack([iters, vals]),
-            delimiter=",",
-            header="iter,value",
-            comments="",
+            ["iter", "value"],
+            [iters, vals],
         )
 
 
