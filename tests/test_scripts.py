@@ -102,3 +102,15 @@ def test_multichip_sweep_example(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "multichip_sweep OK" in res.stdout
+
+
+@pytest.mark.slow
+def test_hyper_search_example(tmp_path):
+    """The hyperparameter-search example (traced lr/wd grid) runs."""
+    res = _run(
+        [os.path.join(REPO, "examples", "hyper_search.py"),
+         "--n_iter", "40"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "hyper_search OK" in res.stdout
