@@ -79,24 +79,37 @@ def main():
     dt = min(dts)
 
     steps_per_sec = cfg.n_iter / dt
-    print(
-        json.dumps(
-            {
-                "metric": "beam_dpivae_train_steps_per_sec",
-                "value": round(steps_per_sec, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(
-                    steps_per_sec / TORCH_CPU_BASELINE_STEPS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    return {
+        "metric": "beam_dpivae_train_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(
+            steps_per_sec / TORCH_CPU_BASELINE_STEPS_PER_SEC, 2
+        ),
+    }
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
     # Heal only the two known environment fault classes (transient tunnel
     # drop -> wait + retry; stale libtpu compile cache -> clear + retry);
     # deterministic failures propagate immediately.
     from dpivae_tpu.utils.cache_guard import run_with_healing
 
-    run_with_healing(main)
+    # Stdout hygiene: while the benchmark runs, fd 1 is rerouted to stderr
+    # so environment noise (e.g. XLA:CPU AOT machine-feature warnings that
+    # C++ code prints straight to stdout) cannot land near the result.
+    # Real stdout then carries exactly ONE line, printed last: the JSON the
+    # driver parses.
+    sys.stdout.flush()
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        result = run_with_healing(main)
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(json.dumps(result), flush=True)

@@ -9,9 +9,11 @@ parallel; ICI carries nothing but the final gathered results).
 """
 
 from dpivae_tpu.sweep.sweep import (  # noqa: F401
+    LATENTS_CHUNK_DEFAULT,
     HyperSweepResult,
     SweepResult,
     auto_chunk_size,
+    member_step_cost,
     train_hyper_sweep,
     member_datasets,
     sweep_disentanglement_latents,

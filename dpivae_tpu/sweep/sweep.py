@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
+import warnings
 from typing import NamedTuple, Optional, Sequence, Union
 
 import jax
@@ -102,6 +105,8 @@ def train_hyper_sweep(
     lambdas=None,
     key=None,
     chunk_size: Union[int, str, None] = "auto",
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "sweep",
 ) -> HyperSweepResult:
     """Train a hyperparameter grid as one batched vmapped program.
 
@@ -116,8 +121,15 @@ def train_hyper_sweep(
         grid: field name -> sequence of per-member values; all sequences
             share one length M. The cross product is the caller's job
             (pass pre-crossed columns) — members are rows, not axes.
-        n_runs: seeds per grid row (member = i_row * n_runs + i_run).
+        n_runs: seeds per grid row (member = i_row * n_runs + i_run). The
+            SAME n_runs run-keys repeat across grid rows, so each seed's
+            dataset/init draw is paired across hyperparameter settings —
+            grid rankings measure the hyperparameter effect, not
+            per-member sampling noise.
         lambdas: optional per-row GRL strengths (default config.lambda_g0).
+        mesh: optional device mesh; members shard over ``member_axis``
+            (padded to the axis size, pads trained and dropped), with the
+            same optional 2-D "dp" batch sharding as ``train_sweep``.
 
     Returns:
         HyperSweepResult ordered row-major over (grid row, run).
@@ -147,7 +159,40 @@ def train_hyper_sweep(
 
     if key is None:
         key = jax.random.PRNGKey(config.seed)
-    keys = jax.random.split(key, n_members)
+    # Paired seeds: tile the same run-keys across rows (see docstring).
+    run_keys = jax.random.split(key, n_runs)
+    keys = jnp.concatenate([run_keys] * n_rows, axis=0)
+
+    grid_out = dict(zip(fields, cols))
+    if mesh is not None:
+        use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+        batched = _SWEEP_JIT_CACHE.get(
+            ("train_hyper_sweep_mesh", config, case.name, fields, mesh,
+             member_axis),
+            lambda: jax.vmap(
+                build_member_fn(
+                    config, case, hyper_fields=fields,
+                    mesh=mesh if use_dp else None,
+                ),
+                spmd_axis_name=member_axis,
+            ),
+        )
+        axis_size = mesh.shape[member_axis]
+        n_pad = (-n_members) % axis_size
+        pad_j = lambda a: (
+            jnp.concatenate([a, a[-1:].repeat(n_pad, 0)]) if n_pad else a
+        )
+        sharding = NamedSharding(mesh, P(member_axis))
+        put = lambda a: jax.device_put(pad_j(jnp.asarray(a)), sharding)
+        batched = jax.jit(batched, in_shardings=sharding)
+        params, logs = batched(
+            put(keys), put(lam_m), tuple(put(c) for c in hyper_m)
+        )
+        if n_pad:
+            trim = lambda a: a[:n_members]
+            params = jax.tree.map(trim, params)
+            logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
+        return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
     def build():
         member = build_member_fn(config, case, hyper_fields=fields)
@@ -157,9 +202,10 @@ def train_hyper_sweep(
         ("train_hyper_sweep", config, case.name, fields), build
     )
 
-    grid_out = dict(zip(fields, cols))
     if chunk_size == "auto":
-        chunk_size = auto_chunk_size(n_members, config.n_iter)
+        chunk_size = auto_chunk_size(n_members, config.n_iter, config)
+    elif chunk_size is not None:
+        _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
         params, logs = batched(keys, lam_m, hyper_m)
         return HyperSweepResult(params, logs, grid_out, lam_m, keys)
@@ -175,13 +221,18 @@ def train_hyper_sweep(
     lam_p = pad(lam_m)
     hyper_p = tuple(pad(c) for c in hyper_m)
     chunks = []
-    for start in range(0, n_members + n_pad, chunk_size):
+    t0 = time.perf_counter()
+    for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
         sl = slice(start, start + chunk_size)
         out = batched(
             wrap_keys(keys_p[sl]), lam_p[sl],
             tuple(c[sl] for c in hyper_p),
         )
         chunks.append(out)
+    _narrate_chunks(
+        "hyper-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
+        n_members, t0,
+    )
     params, logs = _concat_chunks(chunks, n_members)
     return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
@@ -201,16 +252,26 @@ def member_datasets(config: TrainConfig, case: Case, member_key):
     return data_train, data_val
 
 
-def build_member_fn(config: TrainConfig, case: Case, hyper_fields: tuple = ()):
+def build_member_fn(
+    config: TrainConfig,
+    case: Case,
+    hyper_fields: tuple = (),
+    mesh: Optional[Mesh] = None,
+    dp_axis: str = "dp",
+):
     """One sweep member as a pure function ``(key, lambda[, hyper]) ->
     (params, logs)``: sample data, init, train. vmap-ready. With
     ``hyper_fields``, the extra ``hyper`` tuple carries per-member traced
-    config overrides (see train.TRACEABLE_HYPER_FIELDS)."""
+    config overrides (see train.TRACEABLE_HYPER_FIELDS). With ``mesh``,
+    each member's minibatches/validation pass carry ``dp_axis`` sharding
+    constraints (combine with ``vmap(..., spmd_axis_name=member_axis)``
+    for a 2-D members × data-parallel program)."""
     template = make_template_model(config, case)
     # unroll=False: vmapped members are arithmetic-bound (not
     # scan-overhead-bound) and unrolling only multiplies compile time.
     train_fn = build_train_fn(
-        config, case, unroll=False, hyper_fields=hyper_fields
+        config, case, mesh=mesh, dp_axis=dp_axis, unroll=False,
+        hyper_fields=hyper_fields,
     )
     gt_dist = case.gt_dist()
 
@@ -236,7 +297,79 @@ def _force(tree) -> None:
     float(np.asarray(leaf).ravel()[0])
 
 
-def auto_chunk_size(n_members: int, n_iter: int) -> int:
+def _progress(msg: str) -> None:
+    """One narrator line on stderr (multi-minute studies must not run
+    silent; stdout stays clean for driver-parsed output)."""
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _narrate_chunks(
+    label: str, fresh, n_chunks: int, chunk_size: int, n_members: int,
+    t0: float,
+) -> None:
+    """Print one completion line per dispatched chunk.
+
+    All chunk programs are already queued on the device (async dispatch);
+    forcing each in order just *waits* for it — the queue keeps draining
+    at full throughput — so narration costs one tiny host transfer per
+    chunk, not serialization.
+    """
+    if n_chunks <= 1:
+        return
+    for i, out in fresh:
+        _force(out)
+        _progress(
+            f"[{label}] chunk {i + 1}/{n_chunks} done "
+            f"({min((i + 1) * chunk_size, n_members)}/{n_members} members, "
+            f"{time.perf_counter() - t0:.1f}s)"
+        )
+
+
+# Members per batched latent-extraction program. One shared default for
+# sweep_disentanglement_latents and scripts/1_disentanglement_metric.py
+# (they used to disagree, 22 vs 11; measured on v5e the larger chunk wins
+# — fewer program dispatches for the same member work, see BASELINE.md).
+LATENTS_CHUNK_DEFAULT = 22
+
+# Calibration workload for the auto-chunk cost model: the oscillator
+# "dpivae" preset (n_batch=64, n_mc_train=16, n_val=512, n_mc_val=64,
+# val_freq=10, MLP encoders) on v5e sustains >= ~20k member-steps/s; its
+# per-step work in elementwise-sample units is the denominator below.
+_CALIB_STEP_SAMPLES = 64 * 16 + 512 * 64 / 10
+# Pessimistic calibration throughput used for the transport-deadline cap.
+_CALIB_MEMBER_STEPS_PER_S = 20_000.0
+# Keep one program's predicted runtime under this (the TPU transport
+# deadline is ~2 min; leave headroom for compile/queue jitter).
+_PROGRAM_BUDGET_S = 100.0
+
+
+def member_step_cost(config: Optional[TrainConfig]) -> float:
+    """Relative per-member-step cost vs the calibration workload.
+
+    An *estimate*, used only to scale the auto-chunk runtime cap: the
+    dominant per-step work is MC-sampled batch passes
+    (n_batch * n_mc_train) plus the amortized validation pass
+    (n_val * n_mc_val / val_freq). CNN encoder trunks cost a conservative
+    4x over the calibration MLPs (conv over the signal length vs one
+    dense layer). Never below 1: the fixed per-step overhead
+    (scan/dispatch) floors real throughput, so cheap configs must not
+    inflate the cap.
+    """
+    if config is None:
+        return 1.0
+    samples = (
+        config.n_batch * config.n_mc_train
+        + config.n_val * config.n_mc_val / max(config.val_freq, 1)
+    )
+    cost = samples / _CALIB_STEP_SAMPLES
+    if "CNN" in (config.encoder_x, config.encoder_c, config.encoder_y):
+        cost *= 4.0
+    return max(cost, 1.0)
+
+
+def auto_chunk_size(
+    n_members: int, n_iter: int, config: Optional[TrainConfig] = None
+) -> int:
     """Members per program for a chunked training sweep.
 
     Two measured facts drive the choice (oscillator dpivae preset, 66
@@ -247,11 +380,16 @@ def auto_chunk_size(n_members: int, n_iter: int) -> int:
     → 72, costing 8%). So: prefer the smallest chunk ≥ 8 with zero
     padding; otherwise trade padding waste against the large-chunk rate
     penalty. A runtime cap keeps one program well under the ~2-minute
-    TPU transport deadline even at a pessimistic 20k member-steps/s.
+    TPU transport deadline even at a pessimistic 20k member-steps/s;
+    with ``config`` the cap additionally scales down for workloads
+    heavier than the calibration one (bigger batches/MC counts, CNN
+    encoders — see ``member_step_cost``).
     """
     if n_members <= 0:
         return 1
-    cap = max(1, min(n_members, int(2_000_000 // max(n_iter, 1))))
+    cost = member_step_cost(config)
+    budget_member_steps = _PROGRAM_BUDGET_S * _CALIB_MEMBER_STEPS_PER_S / cost
+    cap = max(1, min(n_members, int(budget_member_steps // max(n_iter, 1))))
     if n_members <= 16:
         if cap >= n_members:
             return n_members  # one program, no padding
@@ -269,6 +407,24 @@ def auto_chunk_size(n_members: int, n_iter: int) -> int:
         if score > best_score + 1e-9:
             best, best_score = c, score
     return best
+
+
+def _warn_if_over_budget(
+    chunk_size: int, n_iter: int, config: Optional[TrainConfig]
+) -> None:
+    """Warn when an explicit chunk's predicted single-program runtime
+    approaches the ~2-minute TPU transport deadline (auto chunks are
+    capped; hand-picked ones are not)."""
+    cost = member_step_cost(config)
+    predicted = chunk_size * max(n_iter, 1) * cost / _CALIB_MEMBER_STEPS_PER_S
+    if predicted > _PROGRAM_BUDGET_S:
+        warnings.warn(
+            f"sweep chunk of {chunk_size} members x {n_iter} iters predicts "
+            f"~{predicted:.0f}s per device program (cost factor "
+            f"{cost:.2f}) — near or past the ~120s TPU transport deadline; "
+            "pass a smaller chunk_size (or chunk_size='auto')",
+            stacklevel=3,
+        )
 
 
 @functools.lru_cache(maxsize=32)
@@ -349,7 +505,10 @@ def train_sweep(
             metric.py:54-56).
         mesh: optional device mesh; the member axis is sharded over
             ``member_axis``. Pad members to a multiple of the axis size for
-            even sharding (done automatically; pads are trained and dropped).
+            even sharding (done automatically; pads are trained and
+            dropped). A 2-D ``(member_axis, "dp")`` mesh additionally
+            shards each member's minibatch/validation pass over "dp"
+            (requires n_batch and n_val divisible by the dp size).
         chunk_size: members per program invocation. One compiled program is
             reused across chunks; chunking bounds single-program device
             runtime (very long executions can trip the TPU transport) and
@@ -371,14 +530,22 @@ def train_sweep(
     n_members = lambdas.shape[0]
     keys = jax.random.split(key, n_members)
 
-    batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep_vmap", config, case.name),
-        lambda: jax.vmap(build_member_fn(config, case)),
-    )
-
     if mesh is not None:
         # Mesh mode: a single sharded program (chunking would fight the
-        # member-axis sharding); pad members to the axis size.
+        # member-axis sharding); pad members to the axis size. If the mesh
+        # also carries a sized "dp" axis (a 2-D members × data-parallel
+        # mesh), each member's minibatch/validation pass additionally
+        # shards over it via build_train_fn's dp constraints — the vmapped
+        # member axis is named via spmd_axis_name so the two shardings
+        # compose instead of conflicting.
+        use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+        batched = _SWEEP_JIT_CACHE.get(
+            ("train_sweep_mesh", config, case.name, mesh, member_axis),
+            lambda: jax.vmap(
+                build_member_fn(config, case, mesh=mesh if use_dp else None),
+                spmd_axis_name=member_axis,
+            ),
+        )
         axis_size = mesh.shape[member_axis]
         n_pad = (-n_members) % axis_size
         if n_pad:
@@ -398,10 +565,13 @@ def train_sweep(
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep", config, case.name), lambda: jax.jit(batched)
+        ("train_sweep", config, case.name),
+        lambda: jax.jit(jax.vmap(build_member_fn(config, case))),
     )
     if chunk_size == "auto":
-        chunk_size = auto_chunk_size(n_members, config.n_iter)
+        chunk_size = auto_chunk_size(n_members, config.n_iter, config)
+    elif chunk_size is not None:
+        _warn_if_over_budget(chunk_size, config.n_iter, config)
     if (chunk_size is None or chunk_size >= n_members) and checkpoint_dir is None:
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
@@ -425,7 +595,10 @@ def train_sweep(
         )
 
     chunks = []
-    for start in range(0, n_members + n_pad, chunk_size):
+    n_chunks = (n_members + n_pad) // chunk_size
+    fresh = []  # (chunk index, result) for post-dispatch progress narration
+    t0 = time.perf_counter()
+    for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
         sl = slice(start, start + chunk_size)
         ckpt_path = (
             None if checkpoint_dir is None
@@ -435,8 +608,13 @@ def train_sweep(
             loaded = _load_chunk(ckpt_path, params_treedef, chunk_size)
             if loaded is not None:
                 chunks.append(loaded)
+                if n_chunks > 1:
+                    _progress(
+                        f"[sweep] chunk {i + 1}/{n_chunks} resumed from "
+                        f"checkpoint"
+                    )
                 continue
-            print(
+            _progress(
                 f"sweep checkpoint {ckpt_path} has a different chunk size "
                 "(stale chunking); recomputing this chunk"
             )
@@ -446,12 +624,22 @@ def train_sweep(
             # forcing here also bounds lost work on a fault.
             _force(out)
             _save_chunk(ckpt_path, out)
-        # Without checkpointing, do NOT force per chunk: jit dispatch is
-        # async, so all chunk programs queue on the device back-to-back and
-        # the per-chunk host round trip is hidden behind compute. (The
-        # ~2-minute transport deadline is per *program*; a queue of short
-        # programs is safe.)
+            if n_chunks > 1:
+                _progress(
+                    f"[sweep] chunk {i + 1}/{n_chunks} done "
+                    f"({min(start + chunk_size, n_members)}/{n_members} "
+                    f"members, {time.perf_counter() - t0:.1f}s)"
+                )
+        else:
+            # Without checkpointing, do NOT force inside the dispatch loop:
+            # jit dispatch is async, so all chunk programs queue on the
+            # device back-to-back and per-chunk host round trips hide
+            # behind compute. (The ~2-minute transport deadline is per
+            # *program*; a queue of short programs is safe.) Progress is
+            # narrated below by forcing the already-queued chunks in order.
+            fresh.append((i, out))
         chunks.append(out)
+    _narrate_chunks("sweep", fresh, n_chunks, chunk_size, n_members, t0)
     params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
@@ -466,10 +654,15 @@ def sweep_sample(
     cond: bool = False,
     n: int = 1,
     key=None,
+    mesh: Optional[Mesh] = None,
+    member_axis: str = "sweep",
 ):
     """Batched ``model.sample`` across all sweep members — one compiled
     program, scalers re-fitted per member from the stacked ``data_train``
     (leading member axis on every array, including x/c).
+
+    With ``mesh``, the member axis is sharded over ``member_axis``
+    (n_members must divide the axis size evenly, as in sweep_predict_y).
 
     Returns the stacked 9-tuple of model.sample outputs.
     """
@@ -484,9 +677,18 @@ def sweep_sample(
     n_members = result.n_members
     keys = jax.random.split(key, n_members)
     data_train = tuple(jnp.asarray(a) for a in data_train[:3])
-    return batched(
-        result.params, keys, data_train, jnp.asarray(x), jnp.asarray(c)
-    )
+    params = result.params
+    x = jnp.asarray(x)
+    c = jnp.asarray(c)
+    place = _member_sharding(mesh, member_axis)
+    if place is not None:
+        if n_members % mesh.shape[member_axis]:
+            raise ValueError("n_members must be a multiple of the mesh axis")
+        params = jax.tree.map(place, params)
+        keys = place(keys)
+        data_train = jax.tree.map(place, data_train)
+        x, c = place(x), place(c)
+    return batched(params, keys, data_train, x, c)
 
 
 def _member_sharding(mesh: Optional[Mesh], member_axis: str):
@@ -560,7 +762,7 @@ def sweep_disentanglement_latents(
     cond: bool = False,
     use_mean: bool = False,
     key=None,
-    chunk_size: int = 22,
+    chunk_size: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
 ):
@@ -617,6 +819,8 @@ def sweep_disentanglement_latents(
     )
 
     n_members = result.n_members
+    if chunk_size is None:
+        chunk_size = LATENTS_CHUNK_DEFAULT
     chunk_size = min(chunk_size, n_members)
     # Pad to a chunk multiple so one compiled program serves every chunk
     n_pad = (-n_members) % chunk_size
@@ -707,7 +911,9 @@ def train_sweep_data(
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     if chunk_size == "auto":
-        chunk_size = auto_chunk_size(n_members, config.n_iter)
+        chunk_size = auto_chunk_size(n_members, config.n_iter, config)
+    elif chunk_size is not None:
+        _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
         params, logs = batched(keys, lambdas, data_train, data_val)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
@@ -724,6 +930,7 @@ def train_sweep_data(
     dtr_p = jax.tree.map(pad, data_train)
     dva_p = jax.tree.map(pad, data_val)
     chunks = []
+    t0 = time.perf_counter()
     for start in range(0, n_members + n_pad, chunk_size):
         sl = slice(start, start + chunk_size)
         out = batched(
@@ -733,5 +940,9 @@ def train_sweep_data(
         )
         # async dispatch; chunk programs queue back-to-back on the device
         chunks.append(out)
+    _narrate_chunks(
+        "data-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
+        n_members, t0,
+    )
     params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

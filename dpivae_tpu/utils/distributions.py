@@ -167,6 +167,12 @@ class MixtureSameFamily:
     def __post_init__(self):
         if len(self.weights) != len(self.components):
             raise ValueError("weights and components length mismatch")
+        # Validate eagerly: negative or zero-sum weights would produce NaN
+        # log-weights that silently propagate through sample/log_prob.
+        if any(float(w) < 0.0 for w in self.weights):
+            raise ValueError("mixture weights must be non-negative")
+        if not sum(float(w) for w in self.weights) > 0.0:
+            raise ValueError("mixture weights must have a positive sum")
 
     def _log_weights(self):
         w = jnp.asarray(self.weights, jnp.float32)

@@ -8,6 +8,7 @@ the whole evaluation/plotting pipeline.
 
 from __future__ import annotations
 
+import weakref
 from collections import OrderedDict
 
 import jax
@@ -17,7 +18,6 @@ import jax.numpy as jnp
 # on the device; evaluation/plotting over many distinct model objects must
 # not grow without bound.
 _MAX_ENTRIES = 64
-_CACHE: OrderedDict = OrderedDict()
 
 
 class JitLRU:
@@ -51,6 +51,20 @@ class JitLRU:
 _MEAN_CACHE = JitLRU(_MAX_ENTRIES)
 
 
+def _model_cached(cache, sig, model, build):
+    """Cache lookup keyed on ``sig`` (which includes ``id(model)``) with a
+    weakref identity check: a recycled id — the original model object was
+    garbage-collected and a new one reused the address — must NOT return
+    the stale compiled closure (it would silently apply the old model's
+    fitted scalers). On mismatch the entry is rebuilt in place."""
+    entry = cache.get(sig, lambda: (weakref.ref(model), build()))
+    ref, fn = entry
+    if ref() is not model:
+        fn = build()
+        cache._entries[sig] = (weakref.ref(model), fn)
+    return fn
+
+
 def cached_sample_mean(
     model, params, key, x, c, *, cond: bool, n: int, grl_alpha,
     outputs=(4,),
@@ -78,7 +92,10 @@ def cached_sample_mean(
 
         return jax.jit(fn)
 
-    return _MEAN_CACHE.get(sig, build)(params, key, x, c)
+    return _model_cached(_MEAN_CACHE, sig, model, build)(params, key, x, c)
+
+
+_SAMPLE_CACHE = JitLRU(_MAX_ENTRIES)
 
 
 def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
@@ -86,16 +103,12 @@ def cached_sample(model, params, key, x, c, *, cond: bool, n: int, grl_alpha):
     x = jnp.asarray(x)
     c = jnp.asarray(c)
     sig = (id(model), x.shape, c.shape, bool(cond), int(n), float(grl_alpha))
-    fn = _CACHE.get(sig)
-    if fn is None:
-        fn = jax.jit(
+
+    def build():
+        return jax.jit(
             lambda p, k, xx, cc: model.sample(
                 p, k, xx, cc, cond=cond, n=n, grl_alpha=grl_alpha
             )
         )
-        _CACHE[sig] = fn
-        while len(_CACHE) > _MAX_ENTRIES:
-            _CACHE.popitem(last=False)
-    else:
-        _CACHE.move_to_end(sig)
-    return fn(params, key, x, c)
+
+    return _model_cached(_SAMPLE_CACHE, sig, model, build)(params, key, x, c)

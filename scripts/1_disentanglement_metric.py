@@ -11,8 +11,10 @@ run per member on host, and results aggregate into the same
 """
 
 import argparse
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -53,8 +55,9 @@ def main():
                         help="override the λ grid (raw values, not x1e4)")
     parser.add_argument("--n_devices", type=int, default=None,
                         help="shard sweep members over a device mesh")
-    parser.add_argument("--latents_chunk", type=int, default=11,
-                        help="members per batched latent-extraction program")
+    parser.add_argument("--latents_chunk", type=int, default=None,
+                        help="members per batched latent-extraction program "
+                             "(default: sweep.LATENTS_CHUNK_DEFAULT)")
     args = parser.parse_args()
 
     from dpivae_tpu.cases import get_case
@@ -82,6 +85,17 @@ def main():
     os.makedirs(path_output, exist_ok=True)
     cfg.save_json(os.path.join(path_output, "args.json"))
 
+    # Phase timings: committed alongside results so end-to-end wall time
+    # has a measured breakdown, not a guess (timings.json).
+    timings = {}
+    t_start = time.perf_counter()
+
+    def mark(phase, t0):
+        timings[phase] = round(time.perf_counter() - t0, 2)
+        print(f"[phase] {phase}: {timings[phase]:.1f}s", file=sys.stderr,
+              flush=True)
+        return time.perf_counter()
+
     n_members = len(lambdas) * args.n_runs
     print(
         f"Training {n_members} sweep members ({len(lambdas)} λ × "
@@ -92,13 +106,17 @@ def main():
         from dpivae_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.n_devices, axes=("sweep",))
+    t0 = time.perf_counter()
     result = train_sweep(
         cfg, case, lambdas=lambdas, n_runs=args.n_runs,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
         # completed chunks persist; rerunning the same study resumes
         checkpoint_dir=None if mesh else os.path.join(path_output, "chunks"),
     )
-    jax.block_until_ready(result.params)
+    # jax.block_until_ready is a no-op on the tunneled backend: force with
+    # a host transfer so the phase boundary is real.
+    float(np.asarray(jax.tree.leaves(result.params)[0]).ravel()[0])
+    t0 = mark("train", t0)
     print("Sweep training done; running disentanglement probes ...")
 
     # Batched latent extraction on device (one vmapped program), then
@@ -112,10 +130,12 @@ def main():
         chunk_size=args.latents_chunk,
     )
     latents = {k: np.asarray(v) for k, v in latents.items()}
+    t0 = mark("latents", t0)
     # One bulk device->host copy; the per-member loops below would
     # otherwise pay ~1s/member for eager device slices (see
     # SweepResult.host).
     result = result.host()
+    t0 = mark("host_copy", t0)
 
     df_columns = ["set", "gen_factor", "score", "idx_var", "iter", "lambda"]
     rows_all = []
@@ -173,10 +193,20 @@ def main():
                     [i_lambda, j_run, m, float(result.lambdas[m]), str(e)]
                 )
 
-    for m in range(result.n_members):
-        # Per-member metric CSVs (ref per-run output dirs, :95-107)
+    t0 = mark("probes", t0)
+
+    # Per-member metric CSVs (ref per-run output dirs, :95-107). Writes are
+    # independent host file IO -> a thread pool hides most of the latency
+    # (pandas' C csv writer releases the GIL for the heavy part).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_member(m):
         run_dir = os.path.join(path_output, str(m), "metrics")
         save_logs_csv(result.member_logs(m), run_dir)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(write_member, range(result.n_members)))
+    t0 = mark("member_csvs", t0)
 
     df = pd.DataFrame(rows_all, columns=df_columns)
     df["lambda"] = df["lambda"] * SCALE_LAMBDA
@@ -218,7 +248,14 @@ def main():
     ax[-1].set_xlabel(r"$\lambda \cdot 10^4$")
     fig.tight_layout()
     fig.savefig(os.path.join(path_output, "disentanglement_score.png"))
-    print(f"Wrote {path_output}/disentanglement_score.{{csv,png}}")
+    mark("figure", t0)
+    timings["total"] = round(time.perf_counter() - t_start, 2)
+    with open(os.path.join(path_output, "timings.json"), "w") as f:
+        json.dump(timings, f, indent=2)
+    print(f"[phase] total: {timings['total']:.1f}s", file=sys.stderr,
+          flush=True)
+    print(f"Wrote {path_output}/disentanglement_score.{{csv,png}} "
+          f"and timings.json")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--skip_baselines", action="store_true")
     parser.add_argument("--seed", type=int, default=123)
     parser.add_argument("--output", default="output")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="shard sweep members over a device mesh "
+                             "(training and batched prediction)")
     args = parser.parse_args()
 
     from dpivae_tpu.cases import get_case
@@ -114,6 +117,16 @@ def main():
     data_val_stack = stack(1)
 
     n_members = len(members)
+    mesh = None
+    if args.n_devices:
+        from dpivae_tpu.parallel import make_mesh
+
+        if n_members % args.n_devices:
+            parser.error(
+                f"--n_devices must divide the member count ({n_members} = "
+                f"{args.n_runs} runs x {N_DOMAINS} domains)"
+            )
+        mesh = make_mesh(args.n_devices, axes=("sweep",))
     dict_run_metrics = {j: {} for j in range(args.n_runs)}
     dict_run_pred = {j: {} for j in range(args.n_runs)}
 
@@ -129,6 +142,7 @@ def main():
             # stable per-preset stream (hash() is salted per process and
             # would break reproducibility)
             key=jax.random.fold_in(key, 10_000 + preset_idx),
+            mesh=mesh,
         )
         jax.block_until_ready(result.params)
         # Batched evaluation: one vmapped sample over all members
@@ -140,7 +154,7 @@ def main():
             sweep_predict_y(
                 cfg, case, result, data_train_stack, x_test_stack,
                 c_test_stack, cond=args.cond, n=cfg.n_mc_test,
-                key=jax.random.fold_in(key, 999),
+                key=jax.random.fold_in(key, 999), mesh=mesh,
             )
         )
         for m in range(n_members):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats
 
 from dpivae_tpu.config import TrainConfig
@@ -133,6 +134,17 @@ def test_mixture_same_family_vector_event():
         np.asarray(eq.log_prob(pts)), np.asarray(spec.log_prob(pts)),
         rtol=1e-5,
     )
+
+
+def test_mixture_same_family_rejects_bad_weights():
+    # Negative or zero-sum weights would produce silent NaN log-weights
+    from dpivae_tpu.utils.distributions import MixtureSameFamily
+
+    comps = (Normal(0.0, 1.0), Normal(1.0, 1.0))
+    with pytest.raises(ValueError, match="non-negative"):
+        MixtureSameFamily(weights=(0.5, -0.5), components=comps)
+    with pytest.raises(ValueError, match="positive sum"):
+        MixtureSameFamily(weights=(0.0, 0.0), components=comps)
 
 
 def test_make_distribution_mixture_spec():

@@ -116,3 +116,31 @@ def test_cache_guard_transient_retries_once(monkeypatch):
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         cg.run_with_healing(fn)
     assert calls["n"] == 2  # one heal attempt, then propagate
+
+
+def test_model_cache_detects_recycled_id():
+    """A cache entry keyed on id(model) must not survive the model object:
+    if a new object reuses the address (id recycling after GC), the stale
+    compiled closure — with the OLD model's fitted scalers — must be
+    rebuilt, not silently returned."""
+    from dpivae_tpu.utils.jit_cache import JitLRU, _model_cached
+
+    class FakeModel:
+        pass
+
+    cache = JitLRU(8)
+    m1, m2 = FakeModel(), FakeModel()
+    sig = ("same-signature",)  # simulate an id collision: identical key
+    built = []
+
+    fn1 = _model_cached(cache, sig, m1, lambda: built.append(1) or "fn-m1")
+    assert fn1 == "fn-m1" and built == [1]
+    # same model, same sig -> cached
+    assert _model_cached(cache, sig, m1, lambda: built.append(2)) == "fn-m1"
+    assert built == [1]
+    # DIFFERENT model under the same sig -> rebuilt, not the stale closure
+    fn2 = _model_cached(cache, sig, m2, lambda: built.append(3) or "fn-m2")
+    assert fn2 == "fn-m2" and built == [1, 3]
+    # and the rebuilt entry now serves m2 from cache
+    assert _model_cached(cache, sig, m2, lambda: built.append(4)) == "fn-m2"
+    assert built == [1, 3]

@@ -85,6 +85,40 @@ def test_dp_full_training_matches_unsharded():
         )
 
 
+def test_sweep_dp_product_mesh_matches_unsharded():
+    """The combined ("sweep", "dp") 2-D mesh — members sharded over one
+    axis, each member's batch dp-sharded over the other — must produce
+    member-for-member the same trajectories as the plain unsharded vmap.
+    A wrong spmd_axis_name interaction would corrupt results while still
+    being finite, so this asserts equality, not just finiteness."""
+    from dpivae_tpu.sweep import train_sweep
+
+    case = get_case("simple_beam")
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=32, n_val=16, n_batch=16, n_mc_train=2, n_mc_val=4,
+        n_iter=20, val_freq=10, use_seed=True,
+    )
+    key = jax.random.PRNGKey(17)
+    lambdas = [1 / 256, -1.0]
+    mesh = make_mesh(8, axes=("sweep", "dp"), shape=(2, 4))
+    res_2d = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, key=key,
+                         mesh=mesh)
+    res_1 = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, key=key)
+    np.testing.assert_allclose(
+        np.asarray(res_2d.logs.train), np.asarray(res_1.logs.train),
+        rtol=2e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_2d.logs.val), np.asarray(res_1.logs.val),
+        rtol=2e-3, atol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(res_2d.params),
+                    jax.tree.leaves(res_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
+
+
 def test_dp_mesh_requires_divisible_batch():
     from dpivae_tpu.train.train import build_train_fn
     import pytest

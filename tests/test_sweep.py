@@ -147,6 +147,49 @@ def test_auto_chunk_size():
         assert (-(-n // c)) * c >= n
 
 
+def test_auto_chunk_size_scales_with_member_cost():
+    """Workloads heavier than the calibration config (CNN encoders, larger
+    batch/MC products) must pick proportionally smaller chunks so one
+    program stays under the TPU transport deadline."""
+    from dpivae_tpu.sweep import auto_chunk_size, member_step_cost
+
+    case = get_case("simple_beam")
+    calib = TrainConfig().replace(
+        n_batch=64, n_mc_train=16, n_val=512, n_mc_val=64, val_freq=10
+    )
+    assert member_step_cost(None) == 1.0
+    assert member_step_cost(calib) == pytest.approx(1.0)
+    heavy = calib.replace(encoder_x="CNN", encoder_c="CNN", encoder_y="CNN")
+    assert member_step_cost(heavy) == pytest.approx(4.0)
+    big = calib.replace(n_batch=256, n_mc_train=32)
+    assert member_step_cost(big) > 2.0
+    # light configs never inflate the cap (fixed step overhead floors rate)
+    tiny = calib.replace(n_batch=8, n_mc_train=2, n_val=32, n_mc_val=4)
+    assert member_step_cost(tiny) == 1.0
+
+    # at 20k iters the calibration cap allows chunk 11 for 66 members;
+    # the 4x-cost CNN config must cap at <= 1/4 of the member-steps
+    assert auto_chunk_size(66, 20_000, calib) == 11
+    c_heavy = auto_chunk_size(66, 20_000, heavy)
+    assert c_heavy * 20_000 * 4.0 <= 100.0 * 20_000.0 + 1e-6
+    assert c_heavy >= 1
+    del case
+
+
+def test_explicit_chunk_over_budget_warns():
+    """A hand-picked chunk whose predicted runtime nears the ~2-minute
+    transport deadline must warn (auto chunks are capped instead)."""
+    import warnings
+
+    from dpivae_tpu.sweep.sweep import _warn_if_over_budget
+
+    with pytest.warns(UserWarning, match="transport deadline"):
+        _warn_if_over_budget(66, 1_000_000, None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # within budget: no warning
+        _warn_if_over_budget(11, 20_000, None)
+
+
 def test_train_sweep_auto_chunk_matches_explicit():
     case = get_case("simple_beam")
     cfg = _cfg(case)
@@ -205,24 +248,51 @@ def test_hyper_sweep_identity_and_effect():
     )
     assert res.n_members == 2
     assert res.member_overrides(1)["lr_e"] == pytest.approx(cfg.lr_e * 10)
+    # a single-member vanilla sweep shares the run key (paired seeds)
     vanilla = train_sweep(
-        cfg, case, lambdas=[cfg.lambda_g0, cfg.lambda_g0], n_runs=1, key=key
+        cfg, case, lambdas=[cfg.lambda_g0], n_runs=1, key=key
     )
-    # member 0 swept at the config value == vanilla member 0 (same key)
+    # member 0 swept at the config value == the vanilla member (same key)
     for a, b in zip(
         jax.tree.leaves(res.member_params(0)),
         jax.tree.leaves(vanilla.member_params(0)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-    # member 1 trained with 10x lr must differ
+    # member 1 shares the SAME run key (paired) but trains with 10x lr —
+    # the hyperparameter effect, isolated from sampling noise, must show
     diffs = [
         float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
         for a, b in zip(
             jax.tree.leaves(res.member_params(1)),
-            jax.tree.leaves(vanilla.member_params(1)),
+            jax.tree.leaves(res.member_params(0)),
         )
     ]
     assert max(diffs) > 1e-4
+
+
+def test_hyper_sweep_pairs_run_keys_across_rows():
+    """Grid rows reuse the same run-keys, so each seed's dataset draw is
+    identical across hyperparameter settings (paired comparisons)."""
+    from dpivae_tpu.sweep import member_datasets, train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=2, val_freq=1)
+    res = train_hyper_sweep(
+        cfg, case, grid={"lr_e": [1e-3, 1e-2, 1e-1]}, n_runs=2,
+        key=jax.random.PRNGKey(13),
+    )
+    assert res.n_members == 6
+    keys = np.asarray(res.keys)
+    # member = row * n_runs + run: run 0 key identical across all 3 rows
+    np.testing.assert_array_equal(keys[0], keys[2])
+    np.testing.assert_array_equal(keys[0], keys[4])
+    np.testing.assert_array_equal(keys[1], keys[5])
+    # distinct runs have distinct keys
+    assert not np.array_equal(keys[0], keys[1])
+    # and the replayed datasets are therefore shared row-to-row
+    d0, _ = member_datasets(cfg, case, res.keys[0])
+    d2, _ = member_datasets(cfg, case, res.keys[2])
+    np.testing.assert_array_equal(np.asarray(d0[0]), np.asarray(d2[0]))
 
 
 def test_hyper_sweep_multi_field_chunked():
@@ -249,3 +319,29 @@ def test_hyper_sweep_rejects_untraceable_field():
     cfg = _cfg(case)
     with pytest.raises(ValueError, match="not traceable"):
         train_hyper_sweep(cfg, case, grid={"n_batch": [8, 16]})
+
+
+def test_hyper_sweep_mesh_matches_unsharded():
+    """train_hyper_sweep(mesh=...) — including a 2-D (sweep, dp) mesh —
+    must reproduce the unsharded grid member-for-member."""
+    from dpivae_tpu.parallel import make_mesh
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(21)
+    grid = {"lr_e": [1e-3, 1e-2]}
+    res_plain = train_hyper_sweep(cfg, case, grid=grid, n_runs=2, key=key)
+    mesh = make_mesh(8, axes=("sweep", "dp"), shape=(2, 4))
+    res_mesh = train_hyper_sweep(cfg, case, grid=grid, n_runs=2, key=key,
+                                 mesh=mesh)
+    assert res_mesh.n_members == 4
+    np.testing.assert_allclose(
+        np.asarray(res_plain.logs.train), np.asarray(res_mesh.logs.train),
+        rtol=2e-3, atol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(res_plain.params),
+                    jax.tree.leaves(res_mesh.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )

@@ -122,3 +122,38 @@ def test_sweep_predict_y_matches_member_eval():
     # Predictions should correlate with truth even after 20 iters? Not
     # necessarily — just require members differ (independent params/data)
     assert not np.allclose(np.asarray(y_pred[0]), np.asarray(y_pred[1]))
+
+
+def test_sweep_sample_mesh_matches_unsharded():
+    """sweep_sample(mesh=...) must equal the unsharded batched sample."""
+    from dpivae_tpu.parallel import make_mesh
+    from dpivae_tpu.sweep import sweep_sample
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    n_members = 2
+    key = jax.random.PRNGKey(3)
+    dtr, dva, dte = [], [], []
+    for m in range(n_members):
+        k = jax.random.fold_in(key, m)
+        k1, k2, k3 = jax.random.split(k, 3)
+        dtr.append(sample_response(case, k1, cfg.n_train, sample_dist=case.gt_dist()))
+        dva.append(sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist()))
+        dte.append(sample_response(case, k3, 8, sample_dist=case.gt_dist()))
+    stack = lambda ds, i: np.stack([np.asarray(d[i]) for d in ds])
+    data_train = tuple(stack(dtr, i) for i in range(3))
+    data_val = tuple(stack(dva, i) for i in range(3))
+    res = train_sweep_data(
+        cfg, case, lambdas=np.full(n_members, cfg.lambda_g0, np.float32),
+        data_train=data_train, data_val=data_val,
+    )
+    skey = jax.random.PRNGKey(9)
+    out_a = sweep_sample(cfg, case, res, data_train, stack(dte, 0),
+                         stack(dte, 1), n=2, key=skey)
+    mesh = make_mesh(2, axes=("sweep",))
+    out_b = sweep_sample(cfg, case, res, data_train, stack(dte, 0),
+                         stack(dte, 1), n=2, key=skey, mesh=mesh)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
