@@ -460,13 +460,15 @@ def _save_chunk(path: str, out) -> None:
 
 
 def _load_chunk(path: str, params_treedef, expect_members: int):
-    """Load a saved chunk; None if stale (written under a different
-    chunk size, e.g. before a chunk_size default change — loading it
-    would misalign the concatenated member axis silently)."""
+    """Load a saved chunk as host numpy (the checkpointed-sweep concat is
+    host-side; uploading resumed chunks to the device would be wasted
+    transfers); None if stale (written under a different chunk size, e.g.
+    before a chunk_size default change — loading it would misalign the
+    concatenated member axis silently)."""
     with np.load(path) as data:
-        leaves = [jnp.asarray(data[f"p{i}"]) for i in range(int(data["n_leaves"]))]
+        leaves = [data[f"p{i}"] for i in range(int(data["n_leaves"]))]
         logs = TrainLogs(
-            *[jnp.asarray(data[f"log_{name}"]) for name in TrainLogs._fields]
+            *[data[f"log_{name}"] for name in TrainLogs._fields]
         )
     if leaves and leaves[0].shape[0] != expect_members:
         return None
@@ -590,14 +592,27 @@ def train_sweep(
     params_treedef = None
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        params_treedef = jax.tree.structure(
-            make_template_model(config, case).init(jax.random.PRNGKey(0))
-        )
+        # Host CPU: the treedef is backend-independent structure, and an
+        # eager init on the tunneled TPU pays ~1s/op remote compile across
+        # the template's many init ops.
+        from dpivae_tpu.utils import on_host_cpu
+
+        with on_host_cpu():
+            params_treedef = jax.tree.structure(
+                make_template_model(config, case).init(jax.random.PRNGKey(0))
+            )
 
     chunks = []
     n_chunks = (n_members + n_pad) // chunk_size
-    fresh = []  # (chunk index, result) for post-dispatch progress narration
+    fresh = []  # (chunk index, result) for post-dispatch forcing/saving
+    save_paths = {}
     t0 = time.perf_counter()
+    # Dispatch loop: queue every fresh chunk program on the device without
+    # forcing — async jit dispatch lets chunks run back-to-back. (The
+    # ~2-minute transport deadline is per *program*; a queue of short
+    # programs is safe.) Forcing, checkpoint saves, and narration happen in
+    # a second pass below, overlapping host IO with device compute of the
+    # still-queued later chunks.
     for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
         sl = slice(start, start + chunk_size)
         ckpt_path = (
@@ -620,27 +635,35 @@ def train_sweep(
             )
         out = batched(wrap_keys(keys_h[sl]), lambdas_h[sl])
         if ckpt_path is not None:
-            # Checkpointing needs the results on host chunk-by-chunk anyway;
-            # forcing here also bounds lost work on a fault.
-            _force(out)
-            _save_chunk(ckpt_path, out)
-            if n_chunks > 1:
-                _progress(
-                    f"[sweep] chunk {i + 1}/{n_chunks} done "
-                    f"({min(start + chunk_size, n_members)}/{n_members} "
-                    f"members, {time.perf_counter() - t0:.1f}s)"
-                )
-        else:
-            # Without checkpointing, do NOT force inside the dispatch loop:
-            # jit dispatch is async, so all chunk programs queue on the
-            # device back-to-back and per-chunk host round trips hide
-            # behind compute. (The ~2-minute transport deadline is per
-            # *program*; a queue of short programs is safe.) Progress is
-            # narrated below by forcing the already-queued chunks in order.
-            fresh.append((i, out))
+            save_paths[i] = ckpt_path
+        fresh.append((i, out))
         chunks.append(out)
-    _narrate_chunks("sweep", fresh, n_chunks, chunk_size, n_members, t0)
-    params, logs = _concat_chunks(chunks, n_members)
+    for i, out in fresh:
+        _force(out)  # waits for this chunk; later chunks keep computing
+        if i in save_paths:
+            # One device->host copy per chunk, reused for the npz save AND
+            # the host-side concat below.
+            host = jax.tree.map(np.asarray, out)
+            _save_chunk(save_paths[i], host)
+            chunks[i] = host  # chunk i is chunks[i]: one append per chunk
+        if n_chunks > 1:
+            _progress(
+                f"[sweep] chunk {i + 1}/{n_chunks} done "
+                f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
+                f"members, {time.perf_counter() - t0:.1f}s)"
+            )
+    if checkpoint_dir is not None:
+        # Every chunk is already host numpy (saved or loaded): concatenate
+        # on host. A device concat program here would pay a fresh XLA
+        # compile (~270 args for the 6-chunk study) plus re-uploads for
+        # zero benefit.
+        params, logs = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs])
+            [:n_members],
+            *chunks,
+        )
+    else:
+        params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
 

@@ -75,6 +75,22 @@ def main():
     elbo = np.asarray(logs.scalars("ELBO_val")[1])
     print(f"dp over {mesh.shape}: val ELBO {elbo[0]:.3f} -> {elbo[-1]:.3f}")
     assert elbo[-1] < elbo[0], "training should reduce val ELBO"
+
+    # --- 3. both at once: a 2-D (sweep x dp) mesh -----------------------
+    # Members shard over "sweep" while each member's minibatches and
+    # validation pass shard over "dp" — one program, both parallelisms;
+    # XLA composes the shardings (vmap names the member axis via
+    # spmd_axis_name so the dp constraints don't conflict).
+    n_sweep = 2 if args.n_devices % 2 == 0 else 1
+    mesh = make_mesh(
+        args.n_devices, axes=("sweep", "dp"),
+        shape=(n_sweep, args.n_devices // n_sweep),
+    )
+    lambdas = np.linspace(-1.0, 1.0, n_sweep)
+    res = train_sweep(cfg, case, lambdas=lambdas, n_runs=1, mesh=mesh)
+    final = np.asarray(res.logs.val[:, -1, 0])
+    print(f"sweep x dp over {mesh.shape}: final val losses {final.round(3)}")
+    assert np.all(np.isfinite(final))
     print("multichip_sweep OK")
 
 

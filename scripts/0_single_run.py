@@ -190,4 +190,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Multi-minute TPU studies self-heal the two known environment fault
+    # classes (transient tunnel drop -> wait + retry; stale libtpu compile
+    # cache -> clear + retry); with chunk checkpoints the retry resumes
+    # from completed work. Deterministic failures propagate immediately.
+    from dpivae_tpu.utils.cache_guard import run_with_healing
+
+    run_with_healing(main)

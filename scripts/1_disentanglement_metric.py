@@ -106,7 +106,15 @@ def main():
         from dpivae_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.n_devices, axes=("sweep",))
+    # Separate device/tunnel attach from training: on the tunneled backend
+    # the first device contact after another process just released the
+    # chip can block for minutes (observed 15s-450s variance) — that's
+    # environment, not training.
     t0 = time.perf_counter()
+    import jax.numpy as jnp
+
+    float(np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros(()))))
+    t0 = mark("device_init", t0)
     result = train_sweep(
         cfg, case, lambdas=lambdas, n_runs=args.n_runs,
         key=jax.random.PRNGKey(args.seed), mesh=mesh,
@@ -204,7 +212,7 @@ def main():
         run_dir = os.path.join(path_output, str(m), "metrics")
         save_logs_csv(result.member_logs(m), run_dir)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         list(pool.map(write_member, range(result.n_members)))
     t0 = mark("member_csvs", t0)
 
@@ -259,4 +267,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Multi-minute TPU studies self-heal the two known environment fault
+    # classes (transient tunnel drop -> wait + retry; stale libtpu compile
+    # cache -> clear + retry); with chunk checkpoints the retry resumes
+    # from completed work. Deterministic failures propagate immediately.
+    from dpivae_tpu.utils.cache_guard import run_with_healing
+
+    run_with_healing(main)
