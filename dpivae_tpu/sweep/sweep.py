@@ -327,8 +327,10 @@ def _narrate_chunks(
 
 # Members per batched latent-extraction program. One shared default for
 # sweep_disentanglement_latents and scripts/1_disentanglement_metric.py
-# (they used to disagree, 22 vs 11; measured on v5e the larger chunk wins
-# — fewer program dispatches for the same member work, see BASELINE.md).
+# (they used to disagree, 22 vs 11). Measured on v5e (66-member study):
+# steady-state extraction is ~0.1s at ANY chunk size — the cost is the
+# one-time compile/load of each DISTINCT chunk size's program (9-24s), so
+# what matters is that every caller shares one size, not which size.
 LATENTS_CHUNK_DEFAULT = 22
 
 # Calibration workload for the auto-chunk cost model: the oscillator

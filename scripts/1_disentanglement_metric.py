@@ -29,6 +29,22 @@ VAR_LIST = np.array(
 ) / SCALE_LAMBDA
 
 
+def _sklearn_probe_member(job):
+    """One member's sklearn probe fits (runs in a spawn child).
+
+    Returns (rows, None) or (None, error-string) — per-member failure
+    isolation survives the pool (ref collects failures, :149-150)."""
+    lat_tr, lat_te, z_tr, z_te, factors, regressor = job
+    try:
+        from dpivae_tpu.eval import fit_disentanglement_probes
+
+        return fit_disentanglement_probes(
+            lat_tr, lat_te, z_tr, z_te, factors, regressor=regressor
+        ), None
+    except Exception as e:
+        return None, str(e)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--case", default="damped_oscillator")
@@ -45,6 +61,9 @@ def main():
     )
     parser.add_argument("--probe_epochs", type=int, default=300,
                         help="training epochs for the batched mlp_jax probe")
+    parser.add_argument("--probe_workers", type=int, default=8,
+                        help="process-pool workers for the sklearn probe "
+                             "paths (linear/mlp); 1 = serial")
     parser.add_argument("--n_train_regressor", type=int, default=2048)
     parser.add_argument("--n_test_regressor", type=int, default=2048)
     parser.add_argument("--cond", action="store_true")
@@ -129,8 +148,6 @@ def main():
 
     # Batched latent extraction on device (one vmapped program), then
     # host-side sklearn probes per member (ref: :134-150)
-    from dpivae_tpu.eval import fit_disentanglement_probes
-
     latents = sweep_disentanglement_latents(
         cfg, case, result, args.n_train_regressor, args.n_test_regressor,
         cond=args.cond, use_mean=args.use_mean,
@@ -184,22 +201,39 @@ def main():
                          i_lambda, j_run, float(result.lambdas[m])]
                     )
     else:
-        for m in range(result.n_members):
+        # Per-member sklearn fits are independent -> process pool (spawn:
+        # forking a live JAX process can deadlock). 66 members x 9 serial
+        # MLPRegressor fits is the reference's real bottleneck.
+        jobs = [
+            (
+                {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},
+                {b: latents[f"{b}_test"][m] for b in ("zx", "zc", "zy")},
+                latents["z_train"][m], latents["z_test"][m],
+                case.factors, args.regressor,
+            )
+            for m in range(result.n_members)
+        ]
+        if args.probe_workers > 1 and result.n_members > 1:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(
+                max_workers=args.probe_workers,
+                mp_context=mp.get_context("spawn"),
+            ) as pool:
+                outcomes = list(pool.map(_sklearn_probe_member, jobs))
+        else:
+            outcomes = [_sklearn_probe_member(j) for j in jobs]
+        for m, (rows, err) in enumerate(outcomes):
             i_lambda, j_run = divmod(m, args.n_runs)
-            try:
-                rows = fit_disentanglement_probes(
-                    {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},
-                    {b: latents[f"{b}_test"][m] for b in ("zx", "zc", "zy")},
-                    latents["z_train"][m], latents["z_test"][m],
-                    case.factors, regressor=args.regressor,
-                )
-                rows_all += [
-                    r + [i_lambda, j_run, float(result.lambdas[m])] for r in rows
-                ]
-            except Exception as e:  # collect, don't abort (ref: :149-150)
+            if err is not None:  # collect, don't abort (ref: :149-150)
                 list_fail.append(
-                    [i_lambda, j_run, m, float(result.lambdas[m]), str(e)]
+                    [i_lambda, j_run, m, float(result.lambdas[m]), err]
                 )
+                continue
+            rows_all += [
+                r + [i_lambda, j_run, float(result.lambdas[m])] for r in rows
+            ]
 
     t0 = mark("probes", t0)
 

@@ -14,8 +14,10 @@ run on host, and results aggregate into the same mean±std LaTeX tables.
 """
 
 import argparse
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -130,11 +132,27 @@ def main():
     dict_run_metrics = {j: {} for j in range(args.n_runs)}
     dict_run_pred = {j: {} for j in range(args.n_runs)}
 
+    # Phase timings (committed breakdown contract, as in script 1)
+    timings = {}
+    t_study = time.perf_counter()
+
+    def mark(phase, t0):
+        timings[phase] = round(time.perf_counter() - t0, 2)
+        print(f"[phase] {phase}: {timings[phase]:.1f}s", file=sys.stderr,
+              flush=True)
+        return time.perf_counter()
+
+    # Separate tunnel attach (1.4s-524s observed variance) from training
+    t0 = time.perf_counter()
+    float(np.asarray(jax.jit(lambda a: a + 1)(jax.numpy.zeros(()))))
+    t0 = mark("device_init", t0)
+
     # Train each preset's full (run x domain) grid as one batched program
     for preset_idx, preset in enumerate(("DPIVAE-A", "DPIVAE-B")):
         cfg = base_cfg.with_preset(case.presets[preset])
         print(f"Training {preset}: {n_members} members "
               f"({args.n_runs} runs × {N_DOMAINS} domains) batched ...")
+        t0 = time.perf_counter()
         result = train_sweep_data(
             cfg, case,
             lambdas=np.full(n_members, cfg.lambda_g0, np.float32),
@@ -144,7 +162,10 @@ def main():
             key=jax.random.fold_in(key, 10_000 + preset_idx),
             mesh=mesh,
         )
-        jax.block_until_ready(result.params)
+        # block_until_ready is a no-op on the tunneled backend; force with
+        # a host transfer so the phase boundary is real
+        float(np.asarray(jax.tree.leaves(result.params)[0]).ravel()[0])
+        t0 = mark(f"train_{preset}", t0)
         # Batched evaluation: one vmapped sample over all members
         # (ref evaluate_model semantics: posterior-mean ŷ over n_mc_test MC
         # samples, dpivae.py:538-553)
@@ -163,15 +184,18 @@ def main():
             metrics = regression_metrics(y_test_m, y_pred_stack[m])
             dict_run_metrics[j].setdefault(i + 1, {})[preset] = metrics
             dict_run_pred[j].setdefault(i + 1, {})[preset] = y_pred_stack[m]
+        t0 = mark(f"predict_{preset}", t0)
 
     # Host sklearn baselines per member (ref: :191-193)
     if not args.skip_baselines:
+        t0 = time.perf_counter()
         for m, (dtr, dva, dte) in enumerate(members):
             j, i = divmod(m, N_DOMAINS)
             print(f"Baselines: run {j + 1}/{args.n_runs} domain {i + 1}/{N_DOMAINS}")
             metrics, pred = run_comparison(base_cfg, case, dtr, dte)
             dict_run_metrics[j].setdefault(i + 1, {}).update(metrics)
             dict_run_pred[j].setdefault(i + 1, {}).update(pred)
+        t0 = mark("baselines", t0)
 
     # Aggregate to the reference's mean±std tables (ref: :226-296)
     list_domains = sorted(dict_run_metrics[0].keys())
@@ -217,7 +241,13 @@ def main():
             index=False, caption=caption + " (avg over domains)",
             position="htb!",
         ))
-    print(f"Wrote {path_output}/metrics/{{raw_metrics.csv,table.tex}}")
+    timings["total"] = round(time.perf_counter() - t_study, 2)
+    with open(os.path.join(path_output, "timings.json"), "w") as f:
+        json.dump(timings, f, indent=2)
+    print(f"[phase] total: {timings['total']:.1f}s", file=sys.stderr,
+          flush=True)
+    print(f"Wrote {path_output}/metrics/{{raw_metrics.csv,table.tex}} "
+          f"and timings.json")
 
 
 if __name__ == "__main__":
