@@ -21,4 +21,5 @@ from dpivae_tpu.sweep.sweep import (  # noqa: F401
     sweep_sample,
     train_sweep,
     train_sweep_data,
+    warm_disentanglement_latents,
 )

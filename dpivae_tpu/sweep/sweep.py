@@ -500,6 +500,7 @@ def train_sweep(
     member_axis: str = "sweep",
     chunk_size: Union[int, str, None] = "auto",
     checkpoint_dir: Optional[str] = None,
+    chunk_callback=None,
 ) -> SweepResult:
     """Train the full (λ × run) grid as batched vmapped programs.
 
@@ -523,18 +524,39 @@ def train_sweep(
             chunk is saved as an npz and a rerun of the identical sweep
             resumes from the completed chunks. The member grid and config
             must match between runs; chunks are keyed by start index.
+        chunk_callback: if set (non-mesh path), called as
+            ``callback(member_start, params_chunk, logs_chunk)`` with HOST
+            numpy arrays for every completed chunk (fresh or resumed,
+            padding trimmed), while later chunks are still computing on
+            the device. Callers stream per-member host work (CSV writes,
+            probe dispatch) into the training wall time instead of after
+            it; the callback runs on the sweep thread, so hand long work
+            to an executor and return.
 
     Returns:
         SweepResult with leading member axis ordered λ-major
         (member = i_lambda * n_runs + i_run).
     """
-    if key is None:
-        key = jax.random.PRNGKey(config.seed)
-    lambdas = jnp.asarray(np.repeat(np.asarray(lambdas, np.float32), n_runs))
-    n_members = lambdas.shape[0]
-    keys = jax.random.split(key, n_members)
+    # Member grid bookkeeping is host work (the chunk loop slices keys and
+    # lambdas as numpy); building it eagerly on the tunneled TPU backend
+    # would pay a remote-compile round trip per op.
+    from dpivae_tpu.utils import on_host_cpu
+
+    with on_host_cpu():
+        if key is None:
+            key = jax.random.PRNGKey(config.seed)
+        lambdas = jnp.asarray(
+            np.repeat(np.asarray(lambdas, np.float32), n_runs)
+        )
+        n_members = lambdas.shape[0]
+        keys = jax.random.split(key, n_members)
 
     if mesh is not None:
+        if chunk_callback is not None:
+            raise ValueError(
+                "chunk_callback requires the chunked (non-mesh) path — the "
+                "mesh path runs as one sharded program with no chunks"
+            )
         # Mesh mode: a single sharded program (chunking would fight the
         # member-axis sharding); pad members to the axis size. If the mesh
         # also carries a sized "dp" axis (a 2-D members × data-parallel
@@ -576,7 +598,11 @@ def train_sweep(
         chunk_size = auto_chunk_size(n_members, config.n_iter, config)
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
-    if (chunk_size is None or chunk_size >= n_members) and checkpoint_dir is None:
+    if (
+        (chunk_size is None or chunk_size >= n_members)
+        and checkpoint_dir is None
+        and chunk_callback is None
+    ):
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
@@ -592,17 +618,36 @@ def train_sweep(
         keys_h = np.concatenate([keys_h, keys_h[-1:].repeat(n_pad, 0)])
         lambdas_h = np.concatenate([lambdas_h, lambdas_h[-1:].repeat(n_pad)])
     params_treedef = None
+
+    def _treedef():
+        # Lazy: only needed to unflatten RESUMED chunk files, so a fresh
+        # run never pays this. Host CPU: the treedef is backend-independent
+        # structure, and an eager init on the tunneled TPU pays ~1s/op
+        # remote compile across the template's many init ops.
+        nonlocal params_treedef
+        if params_treedef is None:
+            with on_host_cpu():
+                params_treedef = jax.tree.structure(
+                    make_template_model(config, case).init(
+                        jax.random.PRNGKey(0)
+                    )
+                )
+        return params_treedef
+
+    hosted = checkpoint_dir is not None or chunk_callback is not None
+
+    def _emit(start: int, out_host) -> None:
+        if chunk_callback is None:
+            return
+        n_keep = min(chunk_size, n_members - start)
+        chunk_callback(
+            start,
+            jax.tree.map(lambda a: a[:n_keep], out_host[0]),
+            TrainLogs(*jax.tree.map(lambda a: a[:n_keep], tuple(out_host[1]))),
+        )
+
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        # Host CPU: the treedef is backend-independent structure, and an
-        # eager init on the tunneled TPU pays ~1s/op remote compile across
-        # the template's many init ops.
-        from dpivae_tpu.utils import on_host_cpu
-
-        with on_host_cpu():
-            params_treedef = jax.tree.structure(
-                make_template_model(config, case).init(jax.random.PRNGKey(0))
-            )
 
     chunks = []
     n_chunks = (n_members + n_pad) // chunk_size
@@ -622,9 +667,10 @@ def train_sweep(
             else f"{checkpoint_dir}/chunk_{start:06d}.npz"
         )
         if ckpt_path is not None and os.path.exists(ckpt_path):
-            loaded = _load_chunk(ckpt_path, params_treedef, chunk_size)
+            loaded = _load_chunk(ckpt_path, _treedef(), chunk_size)
             if loaded is not None:
                 chunks.append(loaded)
+                _emit(start, loaded)
                 if n_chunks > 1:
                     _progress(
                         f"[sweep] chunk {i + 1}/{n_chunks} resumed from "
@@ -642,23 +688,25 @@ def train_sweep(
         chunks.append(out)
     for i, out in fresh:
         _force(out)  # waits for this chunk; later chunks keep computing
-        if i in save_paths:
-            # One device->host copy per chunk, reused for the npz save AND
-            # the host-side concat below.
+        if hosted:
+            # One device->host copy per chunk, reused for the npz save,
+            # the chunk callback, AND the host-side concat below.
             host = jax.tree.map(np.asarray, out)
-            _save_chunk(save_paths[i], host)
+            if i in save_paths:
+                _save_chunk(save_paths[i], host)
             chunks[i] = host  # chunk i is chunks[i]: one append per chunk
+            _emit(i * chunk_size, host)
         if n_chunks > 1:
             _progress(
                 f"[sweep] chunk {i + 1}/{n_chunks} done "
                 f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
                 f"members, {time.perf_counter() - t0:.1f}s)"
             )
-    if checkpoint_dir is not None:
-        # Every chunk is already host numpy (saved or loaded): concatenate
-        # on host. A device concat program here would pay a fresh XLA
-        # compile (~270 args for the 6-chunk study) plus re-uploads for
-        # zero benefit.
+    if hosted:
+        # Every chunk is already host numpy (saved, loaded, or emitted):
+        # concatenate on host. A device concat program here would pay a
+        # fresh XLA compile (~270 args for the 6-chunk study) plus
+        # re-uploads for zero benefit.
         params, logs = jax.tree.map(
             lambda *xs: np.concatenate([np.asarray(x) for x in xs])
             [:n_members],
@@ -871,6 +919,51 @@ def sweep_disentanglement_latents(
             k_sl, rk_sl = place(k_sl), place(rk_sl)
         chunks.append(batched(p_sl, k_sl, rk_sl))
     return _concat_chunks(chunks, n_members)
+
+
+def warm_disentanglement_latents(
+    config: TrainConfig,
+    case: Case,
+    n_members: int,
+    n_train_reg: int,
+    n_test_reg: int,
+    cond: bool = False,
+    use_mean: bool = False,
+    chunk_size: Optional[int] = None,
+) -> None:
+    """Pre-compile AND pre-execute the full latent-extraction pipeline on
+    template-initialized dummy params, so the post-training
+    ``sweep_disentanglement_latents`` call is pure steady state.
+
+    Run this in a background thread while ``train_sweep`` occupies the
+    device: compilation/cache-load (the 9-24s that dominates a cold
+    extraction) is host-side and overlaps the training chunks; the dummy
+    execution itself costs ~0.1s of device time per chunk, interleaved
+    into the training queue. Shapes, chunking, and the final concat
+    program are exercised at the exact real-call signature (same
+    ``n_members``), so every compile the real call needs is already
+    cached. Best-effort: any failure here only loses the warming.
+    """
+    from dpivae_tpu.utils import on_host_cpu
+
+    with on_host_cpu():
+        params0 = make_template_model(config, case).init(jax.random.PRNGKey(0))
+        keys = jax.random.split(jax.random.PRNGKey(0), n_members)
+    params = jax.tree.map(
+        lambda a: np.broadcast_to(np.asarray(a), (n_members,) + np.shape(a)),
+        params0,
+    )
+    fake = SweepResult(
+        params=params,
+        logs=None,
+        lambdas=np.zeros(n_members, np.float32),  # only its length is read
+        keys=keys,
+    )
+    out = sweep_disentanglement_latents(
+        config, case, fake, n_train_reg, n_test_reg, cond=cond,
+        use_mean=use_mean, key=jax.random.PRNGKey(0), chunk_size=chunk_size,
+    )
+    _force(out)
 
 
 def train_sweep_data(

@@ -8,6 +8,7 @@ the whole evaluation/plotting pipeline.
 
 from __future__ import annotations
 
+import threading
 import weakref
 from collections import OrderedDict
 
@@ -32,17 +33,29 @@ class JitLRU:
     def __init__(self, maxsize: int = 64):
         self._max = maxsize
         self._entries: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
 
     def get(self, key, build):
-        fn = self._entries.get(key)
-        if fn is None:
-            fn = build()
-            self._entries[key] = fn
+        """Return the cached callable for ``key``, building it if absent.
+
+        Thread-safe: program-warming threads (sweep.warm_* running while
+        the main thread trains) share these caches. ``build`` runs outside
+        the lock — it can trace/compile for seconds and must not block
+        unrelated lookups; a lost race builds twice but both callers get
+        the one stored entry.
+        """
+        with self._lock:
+            fn = self._entries.get(key)
+            if fn is not None:
+                self._entries.move_to_end(key)
+                return fn
+        fn = build()
+        with self._lock:
+            fn = self._entries.setdefault(key, fn)
+            self._entries.move_to_end(key)
             while len(self._entries) > self._max:
                 self._entries.popitem(last=False)
-        else:
-            self._entries.move_to_end(key)
-        return fn
+            return fn
 
     def __len__(self) -> int:
         return len(self._entries)

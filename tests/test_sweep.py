@@ -75,6 +75,80 @@ def test_sweep_mesh_matches_unsharded():
     )
 
 
+def test_sweep_chunk_callback_streams_every_member(tmp_path):
+    """chunk_callback receives every member's host arrays (fresh AND
+    resumed chunks, padding trimmed), identical to the returned result."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(13)
+    seen = {}
+
+    def on_chunk(start, params_chunk, logs_chunk):
+        n = jax.tree.leaves(logs_chunk)[0].shape[0]
+        for j in range(n):
+            assert isinstance(jax.tree.leaves(params_chunk)[0], np.ndarray)
+            seen[start + j] = np.asarray(logs_chunk.train[j])
+
+    ckpt = str(tmp_path / "chunks")
+    res = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
+                      key=key, chunk_size=2, checkpoint_dir=ckpt,
+                      chunk_callback=on_chunk)
+    assert sorted(seen) == [0, 1, 2]  # 3 members, padding member trimmed
+    for m in range(3):
+        np.testing.assert_array_equal(
+            seen[m], np.asarray(res.member_logs(m).train)
+        )
+    # Resumed run: the callback must still stream every member
+    seen.clear()
+    res_b = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
+                        key=key, chunk_size=2, checkpoint_dir=ckpt,
+                        chunk_callback=on_chunk)
+    assert sorted(seen) == [0, 1, 2]
+    np.testing.assert_array_equal(
+        np.asarray(res.logs.train), np.asarray(res_b.logs.train)
+    )
+    # callback without checkpointing must also force the chunked path
+    seen.clear()
+    train_sweep(cfg, case, lambdas=[1 / 256], n_runs=2, key=key,
+                chunk_size=4, chunk_callback=on_chunk)
+    assert sorted(seen) == [0, 1]
+    # mesh path has no chunk stream: must refuse loudly, not drop silently
+    mesh = make_mesh(2, axes=("sweep",))
+    with pytest.raises(ValueError, match="chunk_callback"):
+        train_sweep(cfg, case, lambdas=[1 / 256, 0.0], n_runs=1, key=key,
+                    mesh=mesh, chunk_callback=on_chunk)
+
+
+def test_warm_disentanglement_latents_primes_cache():
+    """The warm call must exercise the exact compile key the real
+    extraction uses, and must not corrupt real results."""
+    from dpivae_tpu.sweep import (
+        sweep_disentanglement_latents,
+        warm_disentanglement_latents,
+    )
+    from dpivae_tpu.sweep.sweep import _SWEEP_JIT_CACHE
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    res = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1)
+    lat_ref = sweep_disentanglement_latents(
+        cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=2
+    )
+    cache_key = ("disent_latents", cfg, case.name, False, 1, 32, 24)
+    sentinel = _SWEEP_JIT_CACHE.get(cache_key, lambda: None)
+    assert sentinel is not None  # the real call populated this key ...
+    warm_disentanglement_latents(cfg, case, 3, 32, 24, chunk_size=2)
+    assert _SWEEP_JIT_CACHE.get(cache_key, lambda: None) is sentinel
+    # ... and a post-warm real call returns the same numbers
+    lat = sweep_disentanglement_latents(
+        cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=2
+    )
+    for k in lat_ref:
+        np.testing.assert_array_equal(
+            np.asarray(lat_ref[k]), np.asarray(lat[k])
+        )
+
+
 def test_sweep_checkpoint_resume(tmp_path):
     """Chunk checkpoints: a rerun loads completed chunks and returns
     identical results without retraining."""
