@@ -702,6 +702,7 @@ def train_sweep(
                 f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
                 f"members, {time.perf_counter() - t0:.1f}s)"
             )
+    t_asm = time.perf_counter()
     if hosted:
         # Every chunk is already host numpy (saved, loaded, or emitted):
         # concatenate on host. A device concat program here would pay a
@@ -714,6 +715,11 @@ def train_sweep(
         )
     else:
         params, logs = _concat_chunks(chunks, n_members)
+    if n_chunks > 1:
+        _progress(
+            f"[sweep] assembled {n_members} members in "
+            f"{time.perf_counter() - t_asm:.1f}s"
+        )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
 

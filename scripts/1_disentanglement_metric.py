@@ -166,7 +166,10 @@ def main():
 
     from dpivae_tpu.train.train import TrainLogs
 
-    csv_pool = ThreadPoolExecutor(max_workers=8)
+    # 2 workers: the host has ONE core, so more threads only steal cycles
+    # from the chunk loop's dispatch thread; with the pyarrow writer the
+    # whole 66-member CSV load is ~3.5s of C-level work.
+    csv_pool = ThreadPoolExecutor(max_workers=2)
     csv_futures = []
     csv_hidden_t = []
 
