@@ -21,10 +21,11 @@ def _write_csv(path: str, columns, arrays) -> None:
     """Fastest available C-level csv writer. Study IO is formatting-bound
     (66 members × 23 files × up to 20k rows ≈ 50M float→str conversions);
     measured per member on this host: pyarrow 51ms, pandas 290ms,
-    np.savetxt ~600ms. Both emit shortest-roundtrip reprs, so the file
-    bytes are identical — pyarrow only quotes headers, hence the manual
-    header line. pandas stays as the fallback (pyarrow is present in this
-    image but not a declared dependency)."""
+    np.savetxt ~600ms. Both emit shortest-roundtrip reprs, so the files
+    parse to identical doubles (bytes differ only on integral floats:
+    pyarrow ``0`` vs pandas ``0.0``) — pyarrow also quotes headers, hence
+    the manual header line. pandas stays as the fallback (pyarrow is
+    present in this image but not a declared dependency)."""
     try:
         import pyarrow as pa
         import pyarrow.csv as pacsv

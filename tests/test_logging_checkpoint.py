@@ -29,6 +29,46 @@ def _train_tiny():
     return cfg, params, logs
 
 
+def test_csv_writer_backends_value_identical(tmp_path, monkeypatch):
+    """The pyarrow fast path and the pandas fallback must emit files that
+    parse to identical headers and values — consumers (and committed study
+    artifacts) must not depend on which writer the image happens to provide.
+    Bytes may differ on integral floats (pyarrow writes ``0``, pandas
+    ``0.0``); both are shortest-roundtrip so parsed doubles match exactly."""
+    import builtins
+    import os
+
+    cfg, params, logs = _train_tiny()
+    save_logs_csv(logs, str(tmp_path / "fast"))
+
+    real_import = builtins.__import__
+
+    def no_pyarrow(name, *a, **k):
+        if name.startswith("pyarrow"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pyarrow)
+    save_logs_csv(logs, str(tmp_path / "fallback"))
+    monkeypatch.undo()
+
+    names = sorted(os.listdir(tmp_path / "fast"))
+    assert names == sorted(os.listdir(tmp_path / "fallback")) and names
+    for name in names:
+        fast_lines = (tmp_path / "fast" / name).read_text().splitlines()
+        slow_lines = (tmp_path / "fallback" / name).read_text().splitlines()
+        assert fast_lines[0] == slow_lines[0], f"{name} headers differ"
+        fast_vals = np.loadtxt(
+            tmp_path / "fast" / name, delimiter=",", skiprows=1, ndmin=2
+        )
+        slow_vals = np.loadtxt(
+            tmp_path / "fallback" / name, delimiter=",", skiprows=1, ndmin=2
+        )
+        np.testing.assert_array_equal(
+            fast_vals, slow_vals, err_msg=f"{name} values differ"
+        )
+
+
 def test_csv_roundtrip(tmp_path):
     cfg, params, logs = _train_tiny()
     save_logs_csv(logs, str(tmp_path))
