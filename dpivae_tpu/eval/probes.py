@@ -132,8 +132,13 @@ def fit_mlp_probes_batched(
     n_epochs: int = 300,
     alpha: float = 1e-4,
     key=None,
+    compile_only: bool = False,
 ):
-    """Train all P probes concurrently; returns test R² of shape (P,)."""
+    """Train all P probes concurrently; returns test R² of shape (P,).
+
+    ``compile_only=True`` lowers + compiles the training program at these
+    exact shapes without executing it (warm-up use; returns None).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     X_train = jnp.asarray(X_train, jnp.float32)
@@ -157,8 +162,33 @@ def fit_mlp_probes_batched(
         jax.random.split(k_init, P)
     )
     run = _mlp_probe_run_fn(b, N, lr, alpha)
-    return run(params, jax.random.split(k_batch, n_steps),
-               X_train, y_tr_s, X_test, y_test, mu, sd)
+    args = (params, jax.random.split(k_batch, n_steps),
+            X_train, y_tr_s, X_test, y_test, mu, sd)
+    if compile_only:
+        run.lower(*args).compile()
+        return None
+    return run(*args)
+
+
+@functools.partial(jax.jit, static_argnames="n_factors")
+def _pack_probe_jit(latents, z, n_factors: int):
+    """Pad + broadcast one split into (P, N, D) / (P, N) probe tensors."""
+    blocks = ("zx", "zc", "zy")
+    d_max = max(int(latents[b].shape[-1]) for b in blocks)
+    padded = [
+        jnp.pad(
+            jnp.asarray(latents[b], jnp.float32),
+            ((0, 0), (0, 0), (0, d_max - int(latents[b].shape[-1]))),
+        )
+        for b in blocks
+    ]
+    x = jnp.stack(padded, axis=1)  # (M, B, N, D)
+    m, n_blocks, n, _ = x.shape
+    x = jnp.broadcast_to(x[:, None], (m, n_factors, n_blocks, n, d_max))
+    y = jnp.swapaxes(jnp.asarray(z, jnp.float32), 1, 2)  # (M, F, N)
+    y = jnp.broadcast_to(y[:, :, None, :], (m, n_factors, n_blocks, n))
+    p = m * n_factors * n_blocks
+    return x.reshape(p, n, d_max), y.reshape(p, n)
 
 
 def pack_probe_batch(latents_train, latents_test, z_train, z_test, n_factors):
@@ -168,33 +198,20 @@ def pack_probe_batch(latents_train, latents_test, z_train, z_test, n_factors):
     (M, N, n_factors). Probe order is m-major, then factor, then block
     ("zx", "zc", "zy") — matching the reference's row order
     (ref: dpivae.py:678-699).
+
+    Packing is one jitted device program (pad + broadcast, no per-probe
+    host loop): device-resident latents from the sweep extraction stay on
+    device all the way through the probe fit, so only the (P,) scores
+    cross the host boundary. The previous host-numpy pack re-uploaded
+    ~65 MB of packed probes per study, which dominated the probe phase on
+    the tunneled TPU (12-40 s observed at study scale).
     """
     blocks = ("zx", "zc", "zy")
-    M = z_train.shape[0]
-    d_max = max(int(latents_train[b].shape[-1]) for b in blocks)
-
-    def pad(a):
-        a = np.asarray(a, np.float32)
-        out = np.zeros((*a.shape[:-1], d_max), np.float32)
-        out[..., : a.shape[-1]] = a
-        return out
-
-    Xtr_b = {b: pad(latents_train[b]) for b in blocks}
-    Xte_b = {b: pad(latents_test[b]) for b in blocks}
-    X_train, X_test, y_tr, y_te = [], [], [], []
-    for m in range(M):
-        for i in range(n_factors):
-            for b in blocks:
-                X_train.append(Xtr_b[b][m])
-                X_test.append(Xte_b[b][m])
-                y_tr.append(np.asarray(z_train[m][:, i], np.float32))
-                y_te.append(np.asarray(z_test[m][:, i], np.float32))
-    return (
-        np.stack(X_train),
-        np.stack(y_tr),
-        np.stack(X_test),
-        np.stack(y_te),
-    )
+    latents_train = {b: latents_train[b] for b in blocks}
+    latents_test = {b: latents_test[b] for b in blocks}
+    x_tr, y_tr = _pack_probe_jit(latents_train, z_train, n_factors)
+    x_te, y_te = _pack_probe_jit(latents_test, z_test, n_factors)
+    return x_tr, y_tr, x_te, y_te
 
 
 def batched_probe_scores(
@@ -218,5 +235,52 @@ def batched_probe_scores(
                                     **mlp_kwargs)
     else:
         raise ValueError(f"Unknown batched regressor {regressor}")
-    M = np.asarray(z_train).shape[0]
-    return np.asarray(r2).reshape(M, n_factors, 3)
+    m = z_train.shape[0]
+    return np.asarray(r2).reshape(m, n_factors, 3)
+
+
+def warm_batched_probes(
+    block_dims: Tuple[int, int, int],
+    n_factors: int,
+    n_members: int,
+    n_train: int,
+    n_test: int,
+    regressor: str = "linear_jax",
+    **mlp_kwargs,
+) -> None:
+    """Pre-compile the batched probe programs at the exact study shapes.
+
+    Run in a background thread while training occupies the device (see
+    scripts/1_disentanglement_metric.py): the compile/cache-load that
+    would otherwise surface in the post-training probe phase is host-side
+    and overlaps the training chunks. The closed-form linear fit is
+    additionally pre-executed (~0.05 s of device time on dummy zeros);
+    the MLP fit is compile-only — executing it would cost the full
+    multi-thousand-step scan. Best-effort: a failure only loses the warm.
+
+    ``block_dims`` are the (zx, zc, zy) latent widths.
+    """
+    blocks = ("zx", "zc", "zy")
+
+    def dummy(n):
+        lat = {
+            b: np.zeros((n_members, n, d), np.float32)
+            for b, d in zip(blocks, block_dims)
+        }
+        return lat, np.zeros((n_members, n, n_factors), np.float32)
+
+    lat_tr, z_tr = dummy(n_train)
+    lat_te, z_te = dummy(n_test)
+    x_tr, y_tr, x_te, y_te = pack_probe_batch(
+        lat_tr, lat_te, z_tr, z_te, n_factors
+    )
+    if regressor == "linear_jax":
+        r2 = fit_linear_probes_batched(x_tr, y_tr, x_te, y_te)
+        # jax.block_until_ready is a no-op on the tunneled TPU backend;
+        # a host transfer of one scalar forces the dummy execution.
+        float(np.asarray(r2[0]))
+    elif regressor == "mlp_jax":
+        fit_mlp_probes_batched(x_tr, y_tr, x_te, y_te, compile_only=True,
+                               **mlp_kwargs)
+    else:
+        raise ValueError(f"Unknown batched regressor {regressor}")

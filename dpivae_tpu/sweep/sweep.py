@@ -19,6 +19,7 @@ import os
 import sys
 import time
 import warnings
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple, Optional, Sequence, Union
 
 import jax
@@ -207,6 +208,10 @@ def train_hyper_sweep(
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
+        batched = _aot(
+            ("train_hyper_sweep", config, case.name, fields), batched,
+            (keys, lam_m, hyper_m),
+        )
         params, logs = batched(keys, lam_m, hyper_m)
         return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
@@ -220,6 +225,11 @@ def train_hyper_sweep(
         if n_pad else keys_h
     lam_p = pad(lam_m)
     hyper_p = tuple(pad(c) for c in hyper_m)
+    batched = _aot(
+        ("train_hyper_sweep", config, case.name, fields), batched,
+        (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
+         tuple(c[:chunk_size] for c in hyper_p)),
+    )
     chunks = []
     t0 = time.perf_counter()
     for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
@@ -288,6 +298,21 @@ def build_member_fn(
         return state.params, logs
 
     return member
+
+
+def _aot(key_parts, jitted, example_args):
+    """Swap a jitted sweep program for its disk-cached compiled executable.
+
+    Single-device paths only. On a warm disk cache this replaces the
+    first chunk's trace+lower+compile (~8-34 s on the 1-core host, see
+    BASELINE.md) with a ~1-2 s executable load. Default-enabled only on
+    locally-attached accelerators — through the tunneled axon backend the
+    executable's first-call upload costs more than the compile it saves
+    (utils/aot.py:enabled). On any failure, on CPU, or when disabled it
+    returns ``jitted`` unchanged."""
+    from dpivae_tpu.utils import aot
+
+    return aot.aot_get(key_parts, lambda: jitted, example_args)
 
 
 def _force(tree) -> None:
@@ -603,6 +628,9 @@ def train_sweep(
         and checkpoint_dir is None
         and chunk_callback is None
     ):
+        batched = _aot(
+            ("train_sweep", config, case.name), batched, (keys, lambdas)
+        )
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
@@ -653,13 +681,23 @@ def train_sweep(
     n_chunks = (n_members + n_pad) // chunk_size
     fresh = []  # (chunk index, result) for post-dispatch forcing/saving
     save_paths = {}
+    batched = _aot(
+        ("train_sweep", config, case.name), batched,
+        (wrap_keys(keys_h[:chunk_size]), lambdas_h[:chunk_size]),
+    )
     t0 = time.perf_counter()
     # Dispatch loop: queue every fresh chunk program on the device without
-    # forcing — async jit dispatch lets chunks run back-to-back. (The
-    # ~2-minute transport deadline is per *program*; a queue of short
-    # programs is safe.) Forcing, checkpoint saves, and narration happen in
-    # a second pass below, overlapping host IO with device compute of the
-    # still-queued later chunks.
+    # forcing, so chunks run back-to-back while the second pass below
+    # overlaps host IO (copies, npz saves, CSV emits) with device compute
+    # of the still-queued later chunks. (The ~2-minute transport deadline
+    # is per *program*; a queue of short programs is safe.) Calls go
+    # through a single-worker dispatcher thread because dispatch latency
+    # is backend-dependent: the jit fastpath returns immediately, but an
+    # AOT-loaded executable's call can block until the program completes
+    # on the tunneled TPU — measured at study scale, blocking dispatch in
+    # this loop serialized all device work ahead of every host copy and
+    # cost the entire overlap (~11 s on the 66-member study).
+    dispatcher = ThreadPoolExecutor(max_workers=1)
     for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
         sl = slice(start, start + chunk_size)
         ckpt_path = (
@@ -681,27 +719,34 @@ def train_sweep(
                 f"sweep checkpoint {ckpt_path} has a different chunk size "
                 "(stale chunking); recomputing this chunk"
             )
-        out = batched(wrap_keys(keys_h[sl]), lambdas_h[sl])
+        fut = dispatcher.submit(
+            batched, wrap_keys(keys_h[sl]), lambdas_h[sl]
+        )
         if ckpt_path is not None:
             save_paths[i] = ckpt_path
-        fresh.append((i, out))
-        chunks.append(out)
-    for i, out in fresh:
-        _force(out)  # waits for this chunk; later chunks keep computing
-        if hosted:
-            # One device->host copy per chunk, reused for the npz save,
-            # the chunk callback, AND the host-side concat below.
-            host = jax.tree.map(np.asarray, out)
-            if i in save_paths:
-                _save_chunk(save_paths[i], host)
-            chunks[i] = host  # chunk i is chunks[i]: one append per chunk
-            _emit(i * chunk_size, host)
-        if n_chunks > 1:
-            _progress(
-                f"[sweep] chunk {i + 1}/{n_chunks} done "
-                f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
-                f"members, {time.perf_counter() - t0:.1f}s)"
-            )
+        fresh.append((i, fut))
+        chunks.append(fut)  # placeholder, replaced in the force pass
+    try:
+        for i, fut in fresh:
+            out = fut.result()
+            chunks[i] = out  # chunk i is chunks[i]: one append per chunk
+            _force(out)  # waits for this chunk; later chunks keep computing
+            if hosted:
+                # One device->host copy per chunk, reused for the npz save,
+                # the chunk callback, AND the host-side concat below.
+                host = jax.tree.map(np.asarray, out)
+                if i in save_paths:
+                    _save_chunk(save_paths[i], host)
+                chunks[i] = host
+                _emit(i * chunk_size, host)
+            if n_chunks > 1:
+                _progress(
+                    f"[sweep] chunk {i + 1}/{n_chunks} done "
+                    f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
+                    f"members, {time.perf_counter() - t0:.1f}s)"
+                )
+    finally:
+        dispatcher.shutdown(wait=False, cancel_futures=True)
     t_asm = time.perf_counter()
     if hosted:
         # Every chunk is already host numpy (saved, loaded, or emitted):
@@ -915,6 +960,14 @@ def sweep_disentanglement_latents(
     if place is not None and chunk_size % mesh.shape[member_axis]:
         raise ValueError("chunk_size must be a multiple of the mesh axis")
 
+    if place is None:
+        batched = _aot(
+            ("disent_latents", config, case.name, cond, n,
+             n_train_reg, n_test_reg),
+            batched,
+            (take(params_p, slice(0, chunk_size)), keys_p[:chunk_size],
+             reg_keys_p[:chunk_size]),
+        )
     chunks = []
     for start in range(0, n_members + n_pad, chunk_size):
         sl = slice(start, start + chunk_size)
@@ -1039,6 +1092,10 @@ def train_sweep_data(
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
+        batched = _aot(
+            ("train_sweep_data", config, case.name), batched,
+            (keys, lambdas, data_train, data_val),
+        )
         params, logs = batched(keys, lambdas, data_train, data_val)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
@@ -1053,6 +1110,13 @@ def train_sweep_data(
     keys_p, lambdas_p = pad_np(keys_h), pad(lambdas)
     dtr_p = jax.tree.map(pad, data_train)
     dva_p = jax.tree.map(pad, data_val)
+    first = slice(0, chunk_size)
+    batched = _aot(
+        ("train_sweep_data", config, case.name), batched,
+        (wrap_keys(keys_p[first]), lambdas_p[first],
+         jax.tree.map(lambda a: a[first], dtr_p),
+         jax.tree.map(lambda a: a[first], dva_p)),
+    )
     chunks = []
     t0 = time.perf_counter()
     for start in range(0, n_members + n_pad, chunk_size):

@@ -496,11 +496,23 @@ def train_model(
         params = model.init(k_init)
 
     train_fn = get_train_fn(config, case, mesh, dp_axis, unroll)
-    state, logs = train_fn(
+    args = (
         params,
         k_train,
         tuple(data_train[:3]),
         tuple(data_val[:3]),
         jnp.asarray(config.lambda_g0, jnp.float32),
     )
+    if mesh is None:
+        # Disk-backed executable cache: a warm rerun of the same program
+        # (same config/case/shapes/package source) skips trace+lower+
+        # compile entirely (~1-2s load vs seconds-to-minutes). Default-on
+        # only for locally-attached accelerators — see utils/aot.py.
+        from dpivae_tpu.utils import aot
+
+        train_fn = aot.aot_get(
+            ("train_model", config, case.name, unroll),
+            lambda: train_fn, args,
+        )
+    state, logs = train_fn(*args)
     return state.params, logs

@@ -151,6 +151,16 @@ def main():
                 args.n_test_regressor, cond=args.cond,
                 use_mean=args.use_mean, chunk_size=args.latents_chunk,
             )
+            if args.regressor.endswith("_jax"):
+                from dpivae_tpu.eval.probes import warm_batched_probes
+
+                warm_batched_probes(
+                    (case.nz_x, cfg.nz_c, cfg.nz_y), len(case.factors),
+                    n_members, args.n_train_regressor,
+                    args.n_test_regressor, regressor=args.regressor,
+                    **({"n_epochs": args.probe_epochs}
+                       if args.regressor == "mlp_jax" else {}),
+                )
         except Exception as e:  # best-effort; losing the warm only costs time
             print(f"[warn] latents warm-up failed: {e}", file=sys.stderr)
 
@@ -212,7 +222,12 @@ def main():
         key=jax.random.PRNGKey(args.seed + 1),
         chunk_size=args.latents_chunk,
     )
-    latents = {k: np.asarray(v) for k, v in latents.items()}
+    # Latents STAY on device for the *_jax probe path (the batched probe
+    # program consumes them directly; only the (P,) scores come back) —
+    # a host round-trip of the ~65 MB packed probes through the TPU
+    # tunnel cost 12-40 s at study scale. Force with one scalar transfer
+    # so the phase boundary is real (block_until_ready is a no-op here).
+    float(np.asarray(jax.tree.leaves(latents)[0]).ravel()[0])
     t0 = mark("latents", t0)
     # One bulk device->host copy; the per-member loops below would
     # otherwise pay ~1s/member for eager device slices (see
@@ -262,6 +277,8 @@ def main():
         # Per-member sklearn fits are independent -> process pool (spawn:
         # forking a live JAX process can deadlock). 66 members x 9 serial
         # MLPRegressor fits is the reference's real bottleneck.
+        # sklearn needs host arrays: one bulk copy here.
+        latents = {k: np.asarray(v) for k, v in latents.items()}
         jobs = [
             (
                 {b: latents[f"{b}_train"][m] for b in ("zx", "zc", "zy")},

@@ -39,6 +39,12 @@ def main():
     parser.add_argument("--cond", action="store_true")
     parser.add_argument("--plot_domain", action="store_true")
     parser.add_argument("--skip_baselines", action="store_true")
+    parser.add_argument(
+        "--baselines", default="sklearn", choices=["sklearn", "jax"],
+        help="comparison-baseline backend: 'sklearn' is the reference's "
+             "serial host path; 'jax' fits all members' LIN/GPR/MLP as "
+             "three batched device programs (certified against sklearn, "
+             "see benchmarks/experiments/baseline_certify.py)")
     parser.add_argument("--seed", type=int, default=123)
     parser.add_argument("--output", default="output")
     parser.add_argument("--n_devices", type=int, default=None,
@@ -186,15 +192,31 @@ def main():
             dict_run_pred[j].setdefault(i + 1, {})[preset] = y_pred_stack[m]
         t0 = mark(f"predict_{preset}", t0)
 
-    # Host sklearn baselines per member (ref: :191-193)
+    # Comparison baselines (ref: :191-193). The reference fits sklearn
+    # LIN/GPR/MLP serially per member; --baselines jax fits each family for
+    # ALL members as one batched device program (eval/baselines.py).
     if not args.skip_baselines:
         t0 = time.perf_counter()
-        for m, (dtr, dva, dte) in enumerate(members):
-            j, i = divmod(m, N_DOMAINS)
-            print(f"Baselines: run {j + 1}/{args.n_runs} domain {i + 1}/{N_DOMAINS}")
-            metrics, pred = run_comparison(base_cfg, case, dtr, dte)
-            dict_run_metrics[j].setdefault(i + 1, {}).update(metrics)
-            dict_run_pred[j].setdefault(i + 1, {}).update(pred)
+        if args.baselines == "jax":
+            from dpivae_tpu.eval import run_comparison_batched
+
+            data_test_stack = stack(2)
+            metrics_b, preds_b = run_comparison_batched(
+                data_train_stack, data_test_stack,
+                key=jax.random.fold_in(key, 777),
+            )
+            for m in range(n_members):
+                j, i = divmod(m, N_DOMAINS)
+                dict_run_metrics[j].setdefault(i + 1, {}).update(metrics_b[m])
+                dict_run_pred[j].setdefault(i + 1, {}).update(preds_b[m])
+        else:
+            for m, (dtr, dva, dte) in enumerate(members):
+                j, i = divmod(m, N_DOMAINS)
+                print(f"Baselines: run {j + 1}/{args.n_runs} "
+                      f"domain {i + 1}/{N_DOMAINS}")
+                metrics, pred = run_comparison(base_cfg, case, dtr, dte)
+                dict_run_metrics[j].setdefault(i + 1, {}).update(metrics)
+                dict_run_pred[j].setdefault(i + 1, {}).update(pred)
         t0 = mark("baselines", t0)
 
     # Aggregate to the reference's mean±std tables (ref: :226-296)

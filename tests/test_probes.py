@@ -107,6 +107,76 @@ def test_batched_probe_scores_layout():
             np.testing.assert_allclose(r[2], s, rtol=0, atol=1e-3)
 
 
+def test_pack_probe_batch_matches_host_reference():
+    """The jitted device pack must reproduce the straightforward host
+    pack: m-major, then factor, then block (zx, zc, zy), blocks
+    zero-padded to the widest latent width (ref row order:
+    dpivae.py:678-699)."""
+    rng = np.random.default_rng(7)
+    M, N, F = 2, 16, 3
+    dims = {"zx": 2, "zc": 4, "zy": 1}
+    lat_tr = {b: rng.normal(size=(M, N, d)).astype(np.float32)
+              for b, d in dims.items()}
+    lat_te = {b: rng.normal(size=(M, N, d)).astype(np.float32)
+              for b, d in dims.items()}
+    z_tr = rng.normal(size=(M, N, F)).astype(np.float32)
+    z_te = rng.normal(size=(M, N, F)).astype(np.float32)
+
+    x_tr, y_tr, x_te, y_te = pack_probe_batch(lat_tr, lat_te, z_tr, z_te, F)
+
+    d_max = max(dims.values())
+
+    def ref_pack(latents, z):
+        xs, ys = [], []
+        for m in range(M):
+            for i in range(F):
+                for b in ("zx", "zc", "zy"):
+                    x = np.zeros((N, d_max), np.float32)
+                    x[:, : dims[b]] = latents[b][m]
+                    xs.append(x)
+                    ys.append(z[m][:, i])
+        return np.stack(xs), np.stack(ys)
+
+    for got, (latents, z) in zip(
+        ((x_tr, y_tr), (x_te, y_te)), ((lat_tr, z_tr), (lat_te, z_te))
+    ):
+        x_ref, y_ref = ref_pack(latents, z)
+        np.testing.assert_array_equal(np.asarray(got[0]), x_ref)
+        np.testing.assert_array_equal(np.asarray(got[1]), y_ref)
+
+
+def test_batched_probe_scores_device_inputs():
+    """Device-resident latents (the study's real input) score identically
+    to host arrays — nothing in the path forces a host copy."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    M, N, F = 2, 64, 2
+    lat = {b: rng.normal(size=(M, N, d)).astype(np.float32)
+           for b, d in (("zx", 2), ("zc", 3), ("zy", 1))}
+    z = rng.normal(size=(M, N, F)).astype(np.float32)
+    host = batched_probe_scores(lat, lat, z, z, n_factors=F,
+                                regressor="linear_jax")
+    dev = batched_probe_scores(
+        {k: jnp.asarray(v) for k, v in lat.items()},
+        {k: jnp.asarray(v) for k, v in lat.items()},
+        jnp.asarray(z), jnp.asarray(z), n_factors=F,
+        regressor="linear_jax",
+    )
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_warm_batched_probes_smoke():
+    from dpivae_tpu.eval.probes import warm_batched_probes
+
+    # Must not raise for either backend; mlp is compile-only.
+    warm_batched_probes((2, 3, 1), 2, 2, 32, 16, regressor="linear_jax")
+    warm_batched_probes((2, 3, 1), 2, 2, 32, 16, regressor="mlp_jax",
+                        n_epochs=2)
+    with pytest.raises(ValueError, match="Unknown batched regressor"):
+        warm_batched_probes((2, 3, 1), 2, 2, 32, 16, regressor="gpr_jax")
+
+
 def test_unknown_batched_regressor():
     Xtr, ytr, Xte, yte = _toy_probes(P=2, N=32)
     latents = {"zx": Xtr, "zc": Xtr, "zy": Xtr}
