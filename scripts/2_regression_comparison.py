@@ -36,6 +36,9 @@ def main():
                         choices=["interpolation", "extrapolation"])
     parser.add_argument("--n_runs", type=int, default=6)
     parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--n_train", type=int, default=None)
+    parser.add_argument("--n_val", type=int, default=None)
+    parser.add_argument("--n_test", type=int, default=None)
     parser.add_argument("--cond", action="store_true")
     parser.add_argument("--plot_domain", action="store_true")
     parser.add_argument("--skip_baselines", action="store_true")
@@ -62,8 +65,13 @@ def main():
 
     case = get_case(args.case)
     base_cfg = TrainConfig().replace(use_seed=True, seed=args.seed)
-    if args.n_iter is not None:
-        base_cfg = base_cfg.replace(n_iter=args.n_iter)
+    overrides = {
+        k: getattr(args, k)
+        for k in ("n_iter", "n_train", "n_val", "n_test")
+        if getattr(args, k) is not None
+    }
+    if overrides:
+        base_cfg = base_cfg.replace(**overrides)
 
     path_output = os.path.join(args.output, args.name)
     for sub in ("metrics", "figures", "settings", "models"):

@@ -82,6 +82,32 @@ def test_disentanglement_cli_batched_probes(tmp_path):
 
 
 @pytest.mark.slow
+def test_regression_comparison_cli_jax_baselines(tmp_path):
+    """Script 2 (transfer study) with the batched device baselines: the
+    full pipeline — quadrant folds, two batched preset sweeps, batched
+    prediction, LIN/GPR/MLP via eval/baselines.py — at tiny scale."""
+    res = _run(
+        [os.path.join(REPO, "scripts", "2_regression_comparison.py"),
+         "--case", "bridge", "--n_runs", "1", "--n_iter", "30",
+         "--n_train", "64", "--n_val", "32", "--n_test", "32",
+         "--baselines", "jax", "--name", "t2",
+         "--output", str(tmp_path)],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "t2" / "metrics" / "raw_metrics.csv")
+    # 1 run x 4 domains x 5 models (DPIVAE-A/B + LIN/GPR/MLP)
+    assert sorted(df["Model"].unique()) == [
+        "DPIVAE-A", "DPIVAE-B", "GPR", "LIN", "MLP"]
+    assert df.shape[0] == 20
+    assert np.isfinite(df["R2"]).all()
+    assert (tmp_path / "t2" / "metrics" / "table.tex").exists()
+    assert (tmp_path / "t2" / "timings.json").exists()
+
+
+@pytest.mark.slow
 def test_single_run_cli_bad_preset(tmp_path):
     res = _run(
         [os.path.join(REPO, "scripts", "0_single_run.py"),
