@@ -89,67 +89,14 @@ def main():
     }
 
 
-def _wait_for_device(total_budget_s: float = 3600.0) -> None:
-    """Block until the accelerator is reachable (or the budget runs out).
-
-    The tunneled backend has a failure mode beyond raised UNAVAILABLE
-    errors: device attach can HANG indefinitely in C++ (observed for
-    hours, 2026-08-18), which no in-process retry can recover — the hung
-    call cannot be cancelled. So reachability is probed in a SUBPROCESS
-    with a hard timeout; only when a probe attaches and runs one op does
-    the real benchmark (which then pays a normal re-attach) start. On
-    budget exhaustion, proceed anyway: if attach raises, run_with_healing
-    handles it; if it hangs, the run was unrecoverable regardless.
-    """
-    import subprocess
-    import sys
-    import time
-
-    probe = (
-        "import jax, numpy as np;"
-        "float(np.asarray(jax.jit(lambda a: a + 1)(jax.numpy.zeros(()))));"
-        "print('ok')"
-    )
-    deadline = time.monotonic() + total_budget_s
-    attempt = 0
-    while time.monotonic() < deadline:
-        attempt += 1
-        try:
-            res = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=min(300, max(60, deadline - time.monotonic())),
-            )
-            if res.returncode == 0 and "ok" in res.stdout:
-                if attempt > 1:
-                    print(f"[bench] device reachable after {attempt} probes",
-                          file=sys.stderr, flush=True)
-                return
-            msg = (res.stderr or res.stdout).strip().splitlines()
-            msg = msg[-1] if msg else "?"
-        except subprocess.TimeoutExpired:
-            msg = "attach hang (probe timeout)"
-        print(f"[bench] device unreachable (attempt {attempt}): {msg}; "
-              f"retrying", file=sys.stderr, flush=True)
-        time.sleep(60)
-    print("[bench] device probe budget exhausted; attempting anyway",
-          file=sys.stderr, flush=True)
-
-
 if __name__ == "__main__":
     import os
     import sys
 
-    # Heal only the two known environment fault classes (transient tunnel
-    # drop -> wait + retry; stale libtpu compile cache -> clear + retry);
-    # deterministic failures propagate immediately.
+    # Heal the known environment fault classes (attach hang -> subprocess-
+    # probed wait; transient tunnel drop -> wait + retry; stale libtpu
+    # compile cache -> clear + retry); deterministic failures propagate.
     from dpivae_tpu.utils.cache_guard import run_with_healing
-
-    # Gate on the environment, NOT jax.default_backend(): querying the
-    # backend initializes it, which is exactly the call that can hang.
-    if "axon" in os.environ.get("JAX_PLATFORMS", "") or os.environ.get(
-        "PALLAS_AXON_POOL_IPS"
-    ):
-        _wait_for_device()
 
     # Stdout hygiene: while the benchmark runs, fd 1 is rerouted to stderr
     # so environment noise (e.g. XLA:CPU AOT machine-feature warnings that
@@ -160,7 +107,7 @@ if __name__ == "__main__":
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     try:
-        result = run_with_healing(main)
+        result = run_with_healing(main, wait_device=True)
     finally:
         sys.stdout.flush()
         os.dup2(real_stdout, 1)

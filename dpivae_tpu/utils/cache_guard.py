@@ -30,6 +30,7 @@ __all__ = [
     "is_stale_cache_fault",
     "clear_compilation_cache",
     "run_with_healing",
+    "wait_for_device",
 ]
 
 # Substrings of the known transient tunnel/device fault messages. Matched
@@ -82,14 +83,73 @@ def clear_compilation_cache() -> str | None:
     return cache_dir
 
 
-def run_with_healing(fn, *, transient_delay_s: float = 240.0):
+def wait_for_device(total_budget_s: float = 3600.0) -> None:
+    """Block until the tunneled accelerator is reachable (bounded).
+
+    A third environment fault class, beyond the two raised ones above:
+    device attach can HANG indefinitely inside C++ (tunnel outage observed
+    for hours, 2026-08-18), which no in-process retry or exception handler
+    can recover — the hung call cannot be cancelled. So reachability is
+    probed in a SUBPROCESS with a hard timeout; only when a probe attaches
+    and executes one op does the caller proceed (paying a normal
+    re-attach). No-op unless the axon tunnel environment is present
+    (querying the backend in-process would itself risk the hang, so the
+    gate reads the environment, not jax). On budget exhaustion, returns
+    anyway: raised faults are run_with_healing's job; a still-hung attach
+    was unrecoverable regardless.
+    """
+    import os
+    import subprocess
+
+    if not ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            or os.environ.get("PALLAS_AXON_POOL_IPS")):
+        return
+    probe = (
+        "import jax, numpy as np;"
+        "float(np.asarray(jax.jit(lambda a: a + 1)(jax.numpy.zeros(()))));"
+        "print('ok')"
+    )
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True,
+                timeout=min(300, max(60, deadline - time.monotonic())),
+            )
+            if res.returncode == 0 and "ok" in res.stdout:
+                if attempt > 1:
+                    print(f"device reachable after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+            msg = (res.stderr or res.stdout).strip().splitlines()
+            msg = msg[-1] if msg else "?"
+        except subprocess.TimeoutExpired:
+            msg = "attach hang (probe timeout)"
+        print(f"device unreachable (attempt {attempt}): {msg}; retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+    print("device probe budget exhausted; attempting anyway",
+          file=sys.stderr, flush=True)
+
+
+def run_with_healing(fn, *, transient_delay_s: float = 240.0,
+                     wait_device: bool = False):
     """Run ``fn()``; self-heal once per known environment fault class.
 
     - Stale-cache fault: clear the persistent cache, retry immediately.
     - Transient tunnel fault: sleep ``transient_delay_s``, retry.
     - Anything else — including a second fault of a class already healed —
       propagates: deterministic bugs must fail loudly, not loop.
+
+    ``wait_device=True`` additionally rides out attach *hangs* by waiting
+    for a subprocess reachability probe before the first attempt and
+    before the transient retry (see ``wait_for_device``).
     """
+    if wait_device:
+        wait_for_device()
     healed: set[str] = set()
     while True:
         try:
@@ -112,5 +172,7 @@ def run_with_healing(fn, *, transient_delay_s: float = 240.0):
                     file=sys.stderr,
                 )
                 time.sleep(transient_delay_s)
+                if wait_device:
+                    wait_for_device()
                 continue
             raise

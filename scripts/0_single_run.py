@@ -196,4 +196,4 @@ if __name__ == "__main__":
     # from completed work. Deterministic failures propagate immediately.
     from dpivae_tpu.utils.cache_guard import run_with_healing
 
-    run_with_healing(main)
+    run_with_healing(main, wait_device=True)

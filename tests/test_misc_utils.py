@@ -118,6 +118,51 @@ def test_cache_guard_transient_retries_once(monkeypatch):
     assert calls["n"] == 2  # one heal attempt, then propagate
 
 
+def test_wait_for_device_noop_off_tunnel(monkeypatch):
+    """wait_for_device must be a pure no-op (no subprocess, no sleep)
+    without the axon tunnel environment — CPU tests and local-TPU users
+    must not pay probe subprocesses."""
+    from dpivae_tpu.utils import cache_guard as cg
+
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    import subprocess
+
+    def boom(*a, **k):  # any probe attempt is a failure
+        raise AssertionError("no subprocess expected off-tunnel")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    cg.wait_for_device()
+
+
+def test_wait_for_device_rides_out_attach_hang(monkeypatch):
+    """With the tunnel env present, a hung probe (TimeoutExpired) retries
+    until the budget runs out, then returns — never raises, never hangs
+    in-process."""
+    import subprocess
+
+    from dpivae_tpu.utils import cache_guard as cg
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setattr(cg.time, "sleep", lambda s: None)
+    clock = {"t": 0.0}
+
+    def mono():
+        clock["t"] += 100.0
+        return clock["t"]
+
+    monkeypatch.setattr(cg.time, "monotonic", mono)
+    calls = {"n": 0}
+
+    def hang(*a, **k):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    cg.wait_for_device(total_budget_s=500.0)
+    assert calls["n"] >= 1
+
+
 def test_model_cache_detects_recycled_id():
     """A cache entry keyed on id(model) must not survive the model object:
     if a new object reuses the address (id recycling after GC), the stale
