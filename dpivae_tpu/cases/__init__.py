@@ -161,6 +161,68 @@ class Case:
         """Fixed marginal prior over z_x."""
         return get_prior_dist(self.prior_x)
 
+    def fingerprint(self) -> str:
+        """Content digest of everything a compiled program bakes in.
+
+        The AOT executable cache (utils/aot.py) keys programs on the case;
+        the name alone is not identity — a user-defined Case may share a
+        name with different priors/factors/surrogate weights, and a stale
+        executable would train against the OLD definitions silently.
+        Hashes every field recursively: scalars/strings by repr, arrays by
+        bytes, callables by source (best-effort; falls back to qualname)
+        plus their closure cells, dataclasses (Factor/PriorSpec/Surrogate)
+        field-by-field.
+        """
+        cached = self.__dict__.get("_fingerprint")
+        if cached is not None:
+            return cached
+
+        import hashlib
+        import inspect
+
+        h = hashlib.sha256()
+
+        def feed(o):
+            if o is None or isinstance(o, (str, int, float, bool, bytes)):
+                h.update(repr(o).encode())
+            elif isinstance(o, np.ndarray) or hasattr(o, "__jax_array__") \
+                    or type(o).__module__.startswith("jax"):
+                a = np.asarray(o)
+                h.update(str((a.shape, str(a.dtype))).encode())
+                h.update(a.tobytes())
+            elif isinstance(o, (list, tuple)):
+                for x in o:
+                    feed(x)
+            elif isinstance(o, Mapping):
+                for k in sorted(o, key=repr):
+                    feed(k)
+                    feed(o[k])
+            elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+                for f in dataclasses.fields(o):
+                    h.update(f.name.encode())
+                    feed(getattr(o, f.name))
+            elif callable(o):
+                try:
+                    h.update(inspect.getsource(o).encode())
+                except (OSError, TypeError):
+                    h.update(
+                        getattr(
+                            o, "__qualname__", type(o).__qualname__
+                        ).encode()
+                    )
+                for cell in getattr(o, "__closure__", None) or ():
+                    try:
+                        feed(cell.cell_contents)
+                    except ValueError:  # empty cell
+                        pass
+            else:
+                h.update(repr(o).encode())
+
+        feed(self)
+        digest = h.hexdigest()
+        object.__setattr__(self, "_fingerprint", digest)  # frozen-safe memo
+        return digest
+
 
 _REGISTRY: Dict[str, Callable[[], Case]] = {}
 

@@ -168,7 +168,7 @@ def train_hyper_sweep(
     if mesh is not None:
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
         batched = _SWEEP_JIT_CACHE.get(
-            ("train_hyper_sweep_mesh", config, case.name, fields, mesh,
+            ("train_hyper_sweep_mesh", config, case.fingerprint(), fields, mesh,
              member_axis),
             lambda: jax.vmap(
                 build_member_fn(
@@ -200,7 +200,7 @@ def train_hyper_sweep(
         return jax.jit(jax.vmap(member))
 
     batched = _SWEEP_JIT_CACHE.get(
-        ("train_hyper_sweep", config, case.name, fields), build
+        ("train_hyper_sweep", config, case.fingerprint(), fields), build
     )
 
     if chunk_size == "auto":
@@ -209,7 +209,7 @@ def train_hyper_sweep(
         _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
         batched = _aot(
-            ("train_hyper_sweep", config, case.name, fields), batched,
+            ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
             (keys, lam_m, hyper_m),
         )
         params, logs = batched(keys, lam_m, hyper_m)
@@ -226,7 +226,7 @@ def train_hyper_sweep(
     lam_p = pad(lam_m)
     hyper_p = tuple(pad(c) for c in hyper_m)
     batched = _aot(
-        ("train_hyper_sweep", config, case.name, fields), batched,
+        ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
         (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
          tuple(c[:chunk_size] for c in hyper_p)),
     )
@@ -591,7 +591,7 @@ def train_sweep(
         # compose instead of conflicting.
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
         batched = _SWEEP_JIT_CACHE.get(
-            ("train_sweep_mesh", config, case.name, mesh, member_axis),
+            ("train_sweep_mesh", config, case.fingerprint(), mesh, member_axis),
             lambda: jax.vmap(
                 build_member_fn(config, case, mesh=mesh if use_dp else None),
                 spmd_axis_name=member_axis,
@@ -616,7 +616,7 @@ def train_sweep(
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
     batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep", config, case.name),
+        ("train_sweep", config, case.fingerprint()),
         lambda: jax.jit(jax.vmap(build_member_fn(config, case))),
     )
     if chunk_size == "auto":
@@ -629,7 +629,7 @@ def train_sweep(
         and chunk_callback is None
     ):
         batched = _aot(
-            ("train_sweep", config, case.name), batched, (keys, lambdas)
+            ("train_sweep", config, case.fingerprint()), batched, (keys, lambdas)
         )
         params, logs = batched(keys, lambdas)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
@@ -682,7 +682,7 @@ def train_sweep(
     fresh = []  # (chunk index, result) for post-dispatch forcing/saving
     save_paths = {}
     batched = _aot(
-        ("train_sweep", config, case.name), batched,
+        ("train_sweep", config, case.fingerprint()), batched,
         (wrap_keys(keys_h[:chunk_size]), lambdas_h[:chunk_size]),
     )
     t0 = time.perf_counter()
@@ -698,35 +698,39 @@ def train_sweep(
     # this loop serialized all device work ahead of every host copy and
     # cost the entire overlap (~11 s on the 66-member study).
     dispatcher = ThreadPoolExecutor(max_workers=1)
-    for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
-        sl = slice(start, start + chunk_size)
-        ckpt_path = (
-            None if checkpoint_dir is None
-            else f"{checkpoint_dir}/chunk_{start:06d}.npz"
-        )
-        if ckpt_path is not None and os.path.exists(ckpt_path):
-            loaded = _load_chunk(ckpt_path, _treedef(), chunk_size)
-            if loaded is not None:
-                chunks.append(loaded)
-                _emit(start, loaded)
-                if n_chunks > 1:
-                    _progress(
-                        f"[sweep] chunk {i + 1}/{n_chunks} resumed from "
-                        f"checkpoint"
-                    )
-                continue
-            _progress(
-                f"sweep checkpoint {ckpt_path} has a different chunk size "
-                "(stale chunking); recomputing this chunk"
-            )
-        fut = dispatcher.submit(
-            batched, wrap_keys(keys_h[sl]), lambdas_h[sl]
-        )
-        if ckpt_path is not None:
-            save_paths[i] = ckpt_path
-        fresh.append((i, fut))
-        chunks.append(fut)  # placeholder, replaced in the force pass
+    # The try covers BOTH passes: an exception anywhere (a failing
+    # chunk_callback in _emit, checkpoint IO, a device fault) must still
+    # shut the dispatcher down, or queued chunk programs keep running —
+    # and keep holding the serialized device — behind the raised error.
     try:
+        for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
+            sl = slice(start, start + chunk_size)
+            ckpt_path = (
+                None if checkpoint_dir is None
+                else f"{checkpoint_dir}/chunk_{start:06d}.npz"
+            )
+            if ckpt_path is not None and os.path.exists(ckpt_path):
+                loaded = _load_chunk(ckpt_path, _treedef(), chunk_size)
+                if loaded is not None:
+                    chunks.append(loaded)
+                    _emit(start, loaded)
+                    if n_chunks > 1:
+                        _progress(
+                            f"[sweep] chunk {i + 1}/{n_chunks} resumed from "
+                            f"checkpoint"
+                        )
+                    continue
+                _progress(
+                    f"sweep checkpoint {ckpt_path} has a different chunk "
+                    "size (stale chunking); recomputing this chunk"
+                )
+            fut = dispatcher.submit(
+                batched, wrap_keys(keys_h[sl]), lambdas_h[sl]
+            )
+            if ckpt_path is not None:
+                save_paths[i] = ckpt_path
+            fresh.append((i, fut))
+            chunks.append(fut)  # placeholder, replaced in the force pass
         for i, fut in fresh:
             out = fut.result()
             chunks[i] = out  # chunk i is chunks[i]: one append per chunk
@@ -795,7 +799,7 @@ def sweep_sample(
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
 
     batched = _SWEEP_JIT_CACHE.get(
-        ("sweep_sample", config, case.name, cond, n),
+        ("sweep_sample", config, case.fingerprint(), cond, n),
         lambda: jax.jit(jax.vmap(build_eval_sample_fn(config, case, cond, n))),
     )
     n_members = result.n_members
@@ -872,7 +876,7 @@ def sweep_predict_y(
         data_train = jax.tree.map(place, data_train)
         x, c = place(x), place(c)
     batched = _SWEEP_JIT_CACHE.get(
-        ("sweep_predict_y", config, case.name, cond, n), build
+        ("sweep_predict_y", config, case.fingerprint(), cond, n), build
     )
     return batched(params, keys, data_train, x, c)
 
@@ -938,7 +942,7 @@ def sweep_disentanglement_latents(
 
     reg_keys = jax.random.split(key, result.n_members)
     batched = _SWEEP_JIT_CACHE.get(
-        ("disent_latents", config, case.name, cond, n, n_train_reg, n_test_reg),
+        ("disent_latents", config, case.fingerprint(), cond, n, n_train_reg, n_test_reg),
         build,
     )
 
@@ -962,7 +966,7 @@ def sweep_disentanglement_latents(
 
     if place is None:
         batched = _aot(
-            ("disent_latents", config, case.name, cond, n,
+            ("disent_latents", config, case.fingerprint(), cond, n,
              n_train_reg, n_test_reg),
             batched,
             (take(params_p, slice(0, chunk_size)), keys_p[:chunk_size],
@@ -1069,7 +1073,7 @@ def train_sweep_data(
         return jax.jit(jax.vmap(member))
 
     batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep_data", config, case.name), build
+        ("train_sweep_data", config, case.fingerprint()), build
     )
     if mesh is not None:
         sharding = NamedSharding(mesh, P(member_axis))
@@ -1093,7 +1097,7 @@ def train_sweep_data(
         _warn_if_over_budget(chunk_size, config.n_iter, config)
     if chunk_size is None or chunk_size >= n_members:
         batched = _aot(
-            ("train_sweep_data", config, case.name), batched,
+            ("train_sweep_data", config, case.fingerprint()), batched,
             (keys, lambdas, data_train, data_val),
         )
         params, logs = batched(keys, lambdas, data_train, data_val)
@@ -1112,7 +1116,7 @@ def train_sweep_data(
     dva_p = jax.tree.map(pad, data_val)
     first = slice(0, chunk_size)
     batched = _aot(
-        ("train_sweep_data", config, case.name), batched,
+        ("train_sweep_data", config, case.fingerprint()), batched,
         (wrap_keys(keys_p[first]), lambdas_p[first],
          jax.tree.map(lambda a: a[first], dtr_p),
          jax.tree.map(lambda a: a[first], dva_p)),

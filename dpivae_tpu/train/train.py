@@ -427,7 +427,8 @@ def build_train_fn(
     return train_fn
 
 
-# Bounded cache of jitted train functions keyed by (config, case-name) so
+# Bounded cache of jitted train functions keyed by (config, case content
+# fingerprint — names alone could collide across user-defined cases) so
 # repeated train_model calls (e.g. in scripts running several presets)
 # reuse the compiled program without pinning unboundedly many executables.
 from dpivae_tpu.utils.jit_cache import JitLRU  # noqa: E402
@@ -439,7 +440,7 @@ def get_train_fn(
     config: TrainConfig, case: Case, mesh=None, dp_axis="dp", unroll="auto"
 ):
     return _TRAIN_FN_CACHE.get(
-        (config, case.name, mesh, dp_axis, unroll),
+        (config, case.fingerprint(), mesh, dp_axis, unroll),
         lambda: jax.jit(build_train_fn(config, case, mesh, dp_axis, unroll)),
     )
 
@@ -511,7 +512,7 @@ def train_model(
         from dpivae_tpu.utils import aot
 
         train_fn = aot.aot_get(
-            ("train_model", config, case.name, unroll),
+            ("train_model", config, case.fingerprint(), unroll),
             lambda: train_fn, args,
         )
     state, logs = train_fn(*args)

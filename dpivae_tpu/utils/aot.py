@@ -137,7 +137,15 @@ def _arg_sig(example_args: tuple) -> str:
     from jax.api_util import shaped_abstractify
 
     leaves, treedef = jax.tree.flatten(example_args)
-    return repr((str(treedef), [str(shaped_abstractify(l)) for l in leaves]))
+    # Placement matters: a compiled executable is specialized to its input
+    # shardings, not just shapes — e.g. mesh-sharded params from a previous
+    # sweep call must not hit a single-device entry (numpy leaves have no
+    # sharding and hash as None).
+    return repr((
+        str(treedef),
+        [(str(shaped_abstractify(l)), str(getattr(l, "sharding", None)))
+         for l in leaves],
+    ))
 
 
 def _digest(key_parts: tuple, example_args: tuple) -> str:
@@ -163,6 +171,34 @@ def _prune(directory: str, max_mb: float) -> None:
             total -= size
     except OSError:
         pass  # pruning is best-effort
+
+
+def _with_call_fallback(exe, build):
+    """Wrap a compiled/loaded executable with a call-time jit fallback.
+
+    A compiled executable is stricter than a jitted callable: it rejects
+    args whose *placement/sharding* differs from the lowering even when
+    shapes match (e.g. params committed to a mesh by an earlier sharded
+    call). The cache contract is "can only ever cost time, not
+    correctness", so the first call-time failure permanently reroutes this
+    entry to the plain jitted callable."""
+    state = {"fn": None}
+
+    def call(*args):
+        if state["fn"] is not None:
+            return state["fn"](*args)
+        try:
+            return exe(*args)
+        except Exception as e:
+            print(
+                f"[aot] executable rejected the call "
+                f"({type(e).__name__}: {e}); falling back to jit",
+                file=sys.stderr,
+            )
+            state["fn"] = build()
+            return state["fn"](*args)
+
+    return call
 
 
 def aot_get(key_parts: tuple, build, example_args: tuple, *, use=None):
@@ -210,7 +246,7 @@ def aot_get(key_parts: tuple, build, example_args: tuple, *, use=None):
                     *triple, execution_devices=[jax.devices()[0]]
                 )
                 os.utime(path)  # freshen for mtime-ordered pruning
-                return exe
+                return _with_call_fallback(exe, build)
             except Exception as e:
                 print(
                     f"[aot] stale/unreadable cache entry {path}: "
@@ -247,6 +283,6 @@ def aot_get(key_parts: tuple, build, example_args: tuple, *, use=None):
                 f"{type(e).__name__}: {e}",
                 file=sys.stderr,
             )
-        return compiled
+        return _with_call_fallback(compiled, build)
 
     return _MEM.get(("aot", digest), load_or_build)

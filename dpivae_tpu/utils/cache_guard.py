@@ -104,6 +104,9 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
     if not ("axon" in os.environ.get("JAX_PLATFORMS", "")
             or os.environ.get("PALLAS_AXON_POOL_IPS")):
         return
+    total_budget_s = float(
+        os.environ.get("DPIVAE_DEVICE_WAIT_S", total_budget_s)
+    )
     probe = (
         "import jax, numpy as np;"
         "float(np.asarray(jax.jit(lambda a: a + 1)(jax.numpy.zeros(()))));"
@@ -114,10 +117,13 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
     while time.monotonic() < deadline:
         attempt += 1
         try:
+            # Per-probe cap must exceed the slowest HEALTHY attach ever
+            # observed (649 s, BASELINE.md) — killing a slow-but-live
+            # attach would misclassify it as a hang forever.
             res = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
                 text=True,
-                timeout=min(300, max(60, deadline - time.monotonic())),
+                timeout=min(900, max(60, deadline - time.monotonic())),
             )
             if res.returncode == 0 and "ok" in res.stdout:
                 if attempt > 1:

@@ -19,6 +19,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpivae_tpu.utils import GAUSSIAN_CONST
 
@@ -169,9 +170,16 @@ class MixtureSameFamily:
             raise ValueError("weights and components length mismatch")
         # Validate eagerly: negative or zero-sum weights would produce NaN
         # log-weights that silently propagate through sample/log_prob.
-        if any(float(w) < 0.0 for w in self.weights):
+        # Traced weights (construction inside jit/vmap) can't be checked
+        # eagerly — skip, preserving traceability; concrete device arrays
+        # validate with ONE host transfer, not one float() per element.
+        if any(isinstance(w, jax.core.Tracer)
+               for w in jax.tree.leaves(self.weights)):
+            return
+        w = np.asarray(self.weights, np.float64)
+        if (w < 0.0).any():
             raise ValueError("mixture weights must be non-negative")
-        if not sum(float(w) for w in self.weights) > 0.0:
+        if not w.sum() > 0.0:
             raise ValueError("mixture weights must have a positive sum")
 
     def _log_weights(self):

@@ -57,6 +57,14 @@ class JitLRU:
                 self._entries.popitem(last=False)
             return fn
 
+    def replace(self, key, fn) -> None:
+        """Overwrite ``key`` with ``fn`` under the lock (LRU-consistent)."""
+        with self._lock:
+            self._entries[key] = fn
+            self._entries.move_to_end(key)
+            while len(self._entries) > self._max:
+                self._entries.popitem(last=False)
+
     def __len__(self) -> int:
         return len(self._entries)
 
@@ -74,7 +82,7 @@ def _model_cached(cache, sig, model, build):
     ref, fn = entry
     if ref() is not model:
         fn = build()
-        cache._entries[sig] = (weakref.ref(model), fn)
+        cache.replace(sig, (weakref.ref(model), fn))
     return fn
 
 

@@ -171,7 +171,7 @@ def main():
     # :95-107) into the training wall time: every completed chunk hands
     # host arrays to a thread pool while later chunks still compute on the
     # device, so this host IO costs ~0 exposed seconds (was a 15s
-    # post-training phase). pandas' C csv writer releases the GIL.
+    # post-training phase). the pyarrow CSV writer releases the GIL.
     from concurrent.futures import ThreadPoolExecutor
 
     from dpivae_tpu.train.train import TrainLogs

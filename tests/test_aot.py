@@ -117,6 +117,44 @@ def test_typed_key_args_roundtrip(aot_env):
     np.testing.assert_array_equal(out, expect)
 
 
+def test_call_fallback_on_sharding_mismatch(aot_env):
+    """A cached executable is placement-specialized; args committed to a
+    different device/sharding must FALL BACK to the jit path (correct
+    result), not crash — the cache may only ever cost time."""
+    key_parts = _unique_key()
+    x = jnp.arange(8.0)
+    build = lambda: jax.jit(lambda a: a * 2)
+    fn = aot.aot_get(key_parts, build, (jax.device_put(x, jax.devices()[0]),))
+    np.testing.assert_array_equal(np.asarray(fn(x)), np.asarray(x) * 2)
+    # Same shapes, different placement: committed to another device
+    other = jax.device_put(x, jax.devices()[1])
+    np.testing.assert_array_equal(np.asarray(fn(other)), np.asarray(x) * 2)
+
+
+def test_digest_distinguishes_sharding(aot_env):
+    """Args committed to different devices must map to different cache
+    entries (an executable lowered for device 0 cannot serve device 1)."""
+    key_parts = _unique_key()
+    x = jnp.ones((4,))
+    build = lambda: jax.jit(lambda a: a + 1)
+    aot.aot_get(key_parts, build, (jax.device_put(x, jax.devices()[0]),))
+    aot.aot_get(key_parts, build, (jax.device_put(x, jax.devices()[1]),))
+    assert len([p for p in os.listdir(aot_env) if p.endswith(".pkl")]) == 2
+
+
+def test_case_fingerprint_keys_content_not_name():
+    """Two same-name cases with different physics must not share compiled
+    programs (AOT keys use Case.fingerprint, not the name)."""
+    import dataclasses
+
+    from dpivae_tpu.cases import get_case
+
+    base = get_case("simple_beam")
+    other = dataclasses.replace(base, sigma_y=base.sigma_y * 3.0)
+    assert base.fingerprint() == get_case("simple_beam").fingerprint()
+    assert base.fingerprint() != other.fingerprint()
+
+
 def test_train_sweep_aot_matches_plain(aot_env):
     """The executable-cache path must be bit-identical to the jit path on
     a real (tiny) training sweep, including across a simulated fresh

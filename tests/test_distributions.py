@@ -147,6 +147,23 @@ def test_mixture_same_family_rejects_bad_weights():
         MixtureSameFamily(weights=(0.0, 0.0), components=comps)
 
 
+def test_mixture_same_family_traced_weights():
+    """Eager weight validation must not break construction under a trace —
+    jit/vmap users pass tracer weights, which can only validate at
+    runtime semantics (NaN log-weights), not eagerly."""
+    from dpivae_tpu.utils.distributions import MixtureSameFamily
+
+    comps = (Normal(0.0, 1.0), Normal(1.0, 1.0))
+
+    @jax.jit
+    def lp(w, x):
+        return MixtureSameFamily(weights=(w[0], w[1]),
+                                 components=comps).log_prob(x)
+
+    out = float(lp(jnp.array([0.6, 0.4]), jnp.array(0.3)))
+    assert np.isfinite(out)
+
+
 def test_make_distribution_mixture_spec():
     from dpivae_tpu.utils.distributions import MixtureSameFamily
 

@@ -134,7 +134,7 @@ def test_warm_disentanglement_latents_primes_cache():
     lat_ref = sweep_disentanglement_latents(
         cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=2
     )
-    cache_key = ("disent_latents", cfg, case.name, False, 1, 32, 24)
+    cache_key = ("disent_latents", cfg, case.fingerprint(), False, 1, 32, 24)
     sentinel = _SWEEP_JIT_CACHE.get(cache_key, lambda: None)
     assert sentinel is not None  # the real call populated this key ...
     warm_disentanglement_latents(cfg, case, 3, 32, 24, chunk_size=2)
