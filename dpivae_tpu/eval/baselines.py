@@ -66,6 +66,11 @@ def _standardize_features(x_tr, c_tr, x, c):
     return jnp.concatenate((scale(x_tr, x), scale(c_tr, c)), axis=-1)
 
 
+# Module-level jit (not per-call): repeat run_comparison_batched calls in a
+# study must reuse the compiled program, not retrace it.
+_feats_batched = jax.jit(jax.vmap(_standardize_features))
+
+
 # ---------------------------------------------------------------------------
 # LIN
 
@@ -191,7 +196,11 @@ def _mlp_baseline_run_fn(b: int, n_rows: int, lr: float, alpha: float):
     tx = optax.adam(lr)
 
     def loss_fn(p, xb, yb):
-        sq = 0.5 * jnp.mean(jnp.sum((_mlp_apply(p, xb) - yb) ** 2, -1))
+        # sklearn's squared_loss is the mean over ALL (row, output)
+        # elements / 2 — not mean-over-rows of the per-row sum. The sum
+        # form would scale the data term by Q for multi-output y, weakening
+        # the effective L2 by Q relative to the sklearn anchor.
+        sq = 0.5 * jnp.mean((_mlp_apply(p, xb) - yb) ** 2)
         l2 = sum(jnp.sum(layer["w"] ** 2) for layer in p)
         return sq + 0.5 * alpha * l2 / xb.shape[0]
 
@@ -272,9 +281,8 @@ def run_comparison_batched(
     """
     x_tr, c_tr, y_tr = (jnp.asarray(a, jnp.float32) for a in data_train[:3])
     x_te, c_te, y_te = (jnp.asarray(a, jnp.float32) for a in data_test[:3])
-    feats = jax.jit(jax.vmap(_standardize_features))
-    X_tr = feats(x_tr, c_tr, x_tr, c_tr)
-    X_te = feats(x_tr, c_tr, x_te, c_te)
+    X_tr = _feats_batched(x_tr, c_tr, x_tr, c_tr)
+    X_te = _feats_batched(x_tr, c_tr, x_te, c_te)
 
     preds = {}
     if "LIN" in models:

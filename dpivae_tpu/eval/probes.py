@@ -133,11 +133,18 @@ def fit_mlp_probes_batched(
     alpha: float = 1e-4,
     key=None,
     compile_only: bool = False,
+    fan_in=None,
 ):
     """Train all P probes concurrently; returns test R² of shape (P,).
 
     ``compile_only=True`` lowers + compiles the training program at these
     exact shapes without executing it (warm-up use; returns None).
+
+    ``fan_in`` (optional, shape (P,)): each probe's TRUE input width
+    before zero-padding to the common D. sklearn initializes the first
+    layer with bound sqrt(6/(d_true+h)); padding would silently shrink
+    that to sqrt(6/(D+h)) for narrow blocks. Only the init scale changes —
+    shapes and the compiled program are identical.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -161,6 +168,10 @@ def fit_mlp_probes_batched(
     params = jax.vmap(lambda k: _mlp_probe_init(k, sizes))(
         jax.random.split(k_init, P)
     )
+    if fan_in is not None:
+        f = jnp.asarray(fan_in, jnp.float32)
+        scale = jnp.sqrt((D + hidden[0]) / (f + hidden[0]))
+        params[0]["w"] = params[0]["w"] * scale[:, None, None]
     run = _mlp_probe_run_fn(b, N, lr, alpha)
     args = (params, jax.random.split(k_batch, n_steps),
             X_train, y_tr_s, X_test, y_test, mu, sd)
@@ -231,8 +242,13 @@ def batched_probe_scores(
     if regressor == "linear_jax":
         r2 = fit_linear_probes_batched(X_tr, y_tr, X_te, y_te)
     elif regressor == "mlp_jax":
+        # Per-probe true input widths (probe order m-major, factor, block):
+        # sklearn's Glorot bound uses the block's real dim, not the padded D
+        dims = [int(latents_train[b].shape[-1]) for b in ("zx", "zc", "zy")]
+        m = z_train.shape[0]
+        fan_in = np.tile(np.asarray(dims, np.float32), m * n_factors)
         r2 = fit_mlp_probes_batched(X_tr, y_tr, X_te, y_te, key=key,
-                                    **mlp_kwargs)
+                                    fan_in=fan_in, **mlp_kwargs)
     else:
         raise ValueError(f"Unknown batched regressor {regressor}")
     m = z_train.shape[0]

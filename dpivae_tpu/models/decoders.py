@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from dpivae_tpu.models.nn import linear_apply, linear_init, mlp_apply, mlp_init
-from dpivae_tpu.ops.gradrev import grad_reverse
+from dpivae_tpu.ops.gradrev import maybe_grad_reverse
 
 
 def decoder_init(key, n_input: int, n_output: int, layers: Sequence[int]) -> dict:
@@ -68,10 +68,7 @@ def grad_rev_additive_apply(
         (xh_p, xh_d) — physics and data-driven predictions, NOT summed
         (the caller adds them, ref: models/vae.py:197).
     """
-    if grl_alpha is not None:
-        z_d = grad_reverse(z_rev, jnp.asarray(grl_alpha))
-    else:
-        z_d = z_rev
+    z_d = maybe_grad_reverse(z_rev, grl_alpha)
     if use_pallas:
         # Fused linear->relu->linear TPU kernel (identical math + VJP;
         # falls back to jnp off-TPU). The hidden width (128) is

@@ -74,6 +74,11 @@ class DPIVAE:
     transform_c: Optional[object] = None
     transform_y: Optional[object] = None
     output_transform_zx: Optional[object] = None  # squash for z_x
+    # Stored-but-unused, replicating the reference exactly: the reference
+    # keeps self.jitter=1e-6 (ref: models/vae.py:32,56) but every encoder
+    # forward uses its own jitter=1e-8 default (ref: models/encoders.py:
+    # 33,60,121), and so do ours (encoders.py). Changing the effective
+    # value would break the golden loss/gradient parity tests.
     jitter: float = 1e-6
     # Opt-in pallas fused kernel for the data-driven decoder branch
     use_pallas: bool = False

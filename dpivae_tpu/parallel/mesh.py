@@ -87,7 +87,7 @@ def sharded_train_step(
         init_fn(params) -> opt_state
         place(params, batch) -> sharded (params, batch)
     """
-    tx, _ = make_optimizer(config, model.init(jax.random.PRNGKey(0)))
+    tx = make_optimizer(config, model.init(jax.random.PRNGKey(0)))
     denom = config.n_batch * (case.nd_x + case.nd_y + case.nd_c)
 
     def loss_fn(params, key, batch, grl_alpha, betas):

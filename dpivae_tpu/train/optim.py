@@ -15,7 +15,6 @@ appears in the params pytree, so the reference's defensive re-freeze
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import optax
@@ -97,8 +96,8 @@ def _grouped_adam(lr_tree, wd_tree, any_wd) -> optax.GradientTransformation:
 
 def make_optimizer(
     config: TrainConfig, params: dict, overlay: dict | None = None
-) -> Tuple[optax.GradientTransformation, optax.OptState]:
-    """Build the per-module optimizer and its initial state.
+) -> optax.GradientTransformation:
+    """Build the per-module optimizer (state via ``tx.init(params)``).
 
     ``overlay`` optionally replaces lr/wd/max_grad_norm fields, possibly
     with traced scalars (see group_hparams)."""
@@ -109,4 +108,4 @@ def make_optimizer(
         # (ref: dpivae.py:432-433)
         max_norm = (overlay or {}).get("max_grad_norm", config.max_grad_norm)
         tx = optax.chain(optax.clip_by_global_norm(max_norm), tx)
-    return tx, tx.init(params)
+    return tx

@@ -109,6 +109,26 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
     )
 
 
+class _UnfittedTransform:
+    """Fail-loud sentinel for template-model input transforms.
+
+    ``transform_inputs`` treats None as identity (a legitimate unscaled
+    configuration), so a template model with None transforms would
+    silently skip standardization instead of erroring. Any use of this
+    sentinel raises at trace time."""
+
+    def _raise(self, *a, **k):
+        raise RuntimeError(
+            "this is a template model (make_template_model): its input "
+            "transforms were never fitted to data. Re-derive the fitted "
+            "model from the member's dataset (the train/sweep loss path "
+            "does this) before calling loss/sample/forward."
+        )
+
+    forward = _raise
+    inverse = _raise
+
+
 def make_template_model(config: TrainConfig, case: Case) -> DPIVAE:
     """A DPIVAE with unfitted input transforms — sufficient for ``init``
     (parameter shapes depend only on dims) and optimizer labeling. Sweeps
@@ -120,13 +140,15 @@ def make_template_model(config: TrainConfig, case: Case) -> DPIVAE:
         np.zeros((config.n_train, case.nd_y), np.float32),
     )
     model = setup_model(config, case, dummy)
-    # Fitted-on-zeros scalers are degenerate; drop them so misuse fails loud
+    # Fitted-on-zeros scalers are degenerate; replace them with a sentinel
+    # that raises on use (None would silently mean "identity")
+    sentinel = _UnfittedTransform()
     return model.__class__(
         **{
             **model.__dict__,
-            "transform_x": None,
-            "transform_c": None,
-            "transform_y": None,
+            "transform_x": sentinel,
+            "transform_c": sentinel,
+            "transform_y": sentinel,
         }
     )
 

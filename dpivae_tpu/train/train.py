@@ -231,7 +231,7 @@ def build_train_fn(
 
         # Assemble the model with scalers fitted on (traced) train data
         model = setup_model(config, case, (x_train, c_train, y_train))
-        tx, _ = make_optimizer(config, params, overlay)
+        tx = make_optimizer(config, params, overlay)
 
         def schedules(step):
             """Annealed multipliers at a (traced) iteration index

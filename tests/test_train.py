@@ -129,7 +129,8 @@ def test_early_stopping_triggers():
 def test_optimizer_group_structure():
     case, cfg, model, data_train, data_val = _setup()
     params = model.init(jax.random.PRNGKey(0))
-    tx, opt_state = make_optimizer(cfg, params)
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
     grads = jax.tree.map(jnp.ones_like, params)
     updates, _ = tx.update(grads, opt_state, params)
     # update magnitudes reflect per-group lrs: log_sigma_x uses lr_sigma=5e-3
