@@ -168,55 +168,90 @@ class Case:
         the name alone is not identity — a user-defined Case may share a
         name with different priors/factors/surrogate weights, and a stale
         executable would train against the OLD definitions silently.
-        Hashes every field recursively: scalars/strings by repr, arrays by
-        bytes, callables by source (best-effort; falls back to qualname)
-        plus their closure cells, dataclasses (Factor/PriorSpec/Surrogate)
-        field-by-field.
+        Hashes every field recursively with type-tagged length framing:
+        scalars/strings by repr, arrays by bytes, dataclasses
+        (Factor/PriorSpec/Surrogate) field-by-field, functools.partial by
+        (func, args, keywords), bound methods by (code, instance state),
+        other callables by source (best-effort; falls back to qualname)
+        plus closure cells and defaults. Known residual: a function's
+        module-level globals outside this package are not hashed — if a
+        custom case's physics reads mutable globals, pass them via partial
+        or closure (or disable the AOT cache) to keep staleness tracking
+        sound.
         """
         cached = self.__dict__.get("_fingerprint")
         if cached is not None:
             return cached
 
+        import functools
         import hashlib
         import inspect
+        import re
 
         h = hashlib.sha256()
 
+        def tag(kind, payload: bytes):
+            # Length-framed, type-tagged: without framing, adjacent sibling
+            # reprs concatenate ambiguously ((12, 3) vs (1, 23) both b'123')
+            # and nesting boundaries vanish.
+            h.update(b"<%s:%d>" % (kind.encode(), len(payload)))
+            h.update(payload)
+
         def feed(o):
             if o is None or isinstance(o, (str, int, float, bool, bytes)):
-                h.update(repr(o).encode())
+                tag(type(o).__name__, repr(o).encode())
             elif isinstance(o, np.ndarray) or hasattr(o, "__jax_array__") \
                     or type(o).__module__.startswith("jax"):
                 a = np.asarray(o)
-                h.update(str((a.shape, str(a.dtype))).encode())
-                h.update(a.tobytes())
+                tag("arr", str((a.shape, str(a.dtype))).encode())
+                tag("buf", a.tobytes())
             elif isinstance(o, (list, tuple)):
+                tag("seq", str(len(o)).encode())
                 for x in o:
                     feed(x)
+            elif isinstance(o, (set, frozenset)):
+                tag("set", str(len(o)).encode())
+                for x in sorted(o, key=repr):
+                    feed(x)
             elif isinstance(o, Mapping):
+                tag("map", str(len(o)).encode())
                 for k in sorted(o, key=repr):
                     feed(k)
                     feed(o[k])
+            elif isinstance(o, functools.partial):
+                tag("partial", b"")
+                feed(o.func)
+                feed(tuple(o.args))
+                feed(dict(o.keywords))
+            elif inspect.ismethod(o):  # bound method: code + instance state
+                tag("method", o.__func__.__qualname__.encode())
+                feed(o.__func__)
+                feed(getattr(o.__self__, "__dict__", repr(o.__self__)))
             elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+                tag("dc", type(o).__qualname__.encode())
                 for f in dataclasses.fields(o):
-                    h.update(f.name.encode())
+                    tag("field", f.name.encode())
                     feed(getattr(o, f.name))
             elif callable(o):
                 try:
-                    h.update(inspect.getsource(o).encode())
+                    tag("src", inspect.getsource(o).encode())
                 except (OSError, TypeError):
-                    h.update(
-                        getattr(
-                            o, "__qualname__", type(o).__qualname__
-                        ).encode()
-                    )
+                    tag("qualname", getattr(
+                        o, "__qualname__", type(o).__qualname__
+                    ).encode())
                 for cell in getattr(o, "__closure__", None) or ():
                     try:
                         feed(cell.cell_contents)
                     except ValueError:  # empty cell
                         pass
+                for d in getattr(o, "__defaults__", None) or ():
+                    feed(d)
             else:
-                h.update(repr(o).encode())
+                # Last resort: repr, with per-process memory addresses
+                # stripped so the digest stays stable across processes.
+                tag("repr", re.sub(
+                    r"0x[0-9a-fA-F]+", "0x", repr(o)
+                ).encode())
 
         feed(self)
         digest = h.hexdigest()

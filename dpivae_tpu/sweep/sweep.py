@@ -227,18 +227,17 @@ def train_hyper_sweep(
     hyper_p = tuple(pad(c) for c in hyper_m)
     batched = _aot(
         ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
-        (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
-         tuple(c[:chunk_size] for c in hyper_p)),
+        lambda: (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
+                 tuple(c[:chunk_size] for c in hyper_p)),
     )
-    chunks = []
     t0 = time.perf_counter()
-    for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
-        sl = slice(start, start + chunk_size)
-        out = batched(
-            wrap_keys(keys_p[sl]), lam_p[sl],
-            tuple(c[sl] for c in hyper_p),
+    chunks = _run_chunks(batched, (
+        (wrap_keys(keys_p[sl]), lam_p[sl], tuple(c[sl] for c in hyper_p))
+        for sl in (
+            slice(start, start + chunk_size)
+            for start in range(0, n_members + n_pad, chunk_size)
         )
-        chunks.append(out)
+    ))
     _narrate_chunks(
         "hyper-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
         n_members, t0,
@@ -309,10 +308,36 @@ def _aot(key_parts, jitted, example_args):
     locally-attached accelerators — through the tunneled axon backend the
     executable's first-call upload costs more than the compile it saves
     (utils/aot.py:enabled). On any failure, on CPU, or when disabled it
-    returns ``jitted`` unchanged."""
+    returns ``jitted`` unchanged.
+
+    ``example_args`` may be a thunk: it is only evaluated when the cache
+    is actually enabled, so disabled-path callers (the default on this
+    tunnel and on CPU) never pay the device ops of materializing example
+    slices."""
     from dpivae_tpu.utils import aot
 
+    if not aot.enabled():
+        return jitted
+    if callable(example_args):
+        example_args = example_args()
     return aot.aot_get(key_parts, lambda: jitted, example_args)
+
+
+def _run_chunks(batched, arg_slices):
+    """Run each chunk program through a single-worker dispatcher thread.
+
+    Dispatch latency is backend-dependent: the jit fastpath returns
+    immediately, but an AOT-loaded executable's call can block until the
+    program completes (see train_sweep's dispatch loop). Routing calls
+    through a worker thread keeps the main thread free to prepare/upload
+    the next chunk's input slices while the device computes, whichever
+    dispatch semantics the backend has."""
+    dispatcher = ThreadPoolExecutor(max_workers=1)
+    try:
+        futs = [dispatcher.submit(batched, *args) for args in arg_slices]
+        return [f.result() for f in futs]
+    finally:
+        dispatcher.shutdown(wait=False, cancel_futures=True)
 
 
 def _force(tree) -> None:
@@ -681,10 +706,20 @@ def train_sweep(
     n_chunks = (n_members + n_pad) // chunk_size
     fresh = []  # (chunk index, result) for post-dispatch forcing/saving
     save_paths = {}
-    batched = _aot(
-        ("train_sweep", config, case.fingerprint()), batched,
-        (wrap_keys(keys_h[:chunk_size]), lambdas_h[:chunk_size]),
-    )
+    # Lazy AOT wrap: a fully checkpoint-resumed run dispatches no fresh
+    # chunk and must not pay the eager lower+compile+serialize.
+    jitted, aot_wrapped = batched, None
+
+    def batched(*args):
+        nonlocal aot_wrapped
+        if aot_wrapped is None:
+            aot_wrapped = _aot(
+                ("train_sweep", config, case.fingerprint()), jitted,
+                lambda: (wrap_keys(keys_h[:chunk_size]),
+                         lambdas_h[:chunk_size]),
+            )
+        return aot_wrapped(*args)
+
     t0 = time.perf_counter()
     # Dispatch loop: queue every fresh chunk program on the device without
     # forcing, so chunks run back-to-back while the second pass below
@@ -969,18 +1004,21 @@ def sweep_disentanglement_latents(
             ("disent_latents", config, case.fingerprint(), cond, n,
              n_train_reg, n_test_reg),
             batched,
-            (take(params_p, slice(0, chunk_size)), keys_p[:chunk_size],
-             reg_keys_p[:chunk_size]),
+            lambda: (take(params_p, slice(0, chunk_size)),
+                     keys_p[:chunk_size], reg_keys_p[:chunk_size]),
         )
-    chunks = []
-    for start in range(0, n_members + n_pad, chunk_size):
-        sl = slice(start, start + chunk_size)
-        p_sl = take(params_p, sl)
-        k_sl, rk_sl = keys_p[sl], reg_keys_p[sl]
-        if place is not None:
-            p_sl = jax.tree.map(place, p_sl)
-            k_sl, rk_sl = place(k_sl), place(rk_sl)
-        chunks.append(batched(p_sl, k_sl, rk_sl))
+
+    def chunk_args():
+        for start in range(0, n_members + n_pad, chunk_size):
+            sl = slice(start, start + chunk_size)
+            p_sl = take(params_p, sl)
+            k_sl, rk_sl = keys_p[sl], reg_keys_p[sl]
+            if place is not None:
+                p_sl = jax.tree.map(place, p_sl)
+                k_sl, rk_sl = place(k_sl), place(rk_sl)
+            yield p_sl, k_sl, rk_sl
+
+    chunks = _run_chunks(batched, chunk_args())
     return _concat_chunks(chunks, n_members)
 
 
@@ -1117,21 +1155,20 @@ def train_sweep_data(
     first = slice(0, chunk_size)
     batched = _aot(
         ("train_sweep_data", config, case.fingerprint()), batched,
-        (wrap_keys(keys_p[first]), lambdas_p[first],
-         jax.tree.map(lambda a: a[first], dtr_p),
-         jax.tree.map(lambda a: a[first], dva_p)),
+        lambda: (wrap_keys(keys_p[first]), lambdas_p[first],
+                 jax.tree.map(lambda a: a[first], dtr_p),
+                 jax.tree.map(lambda a: a[first], dva_p)),
     )
-    chunks = []
     t0 = time.perf_counter()
-    for start in range(0, n_members + n_pad, chunk_size):
-        sl = slice(start, start + chunk_size)
-        out = batched(
-            wrap_keys(keys_p[sl]), lambdas_p[sl],
-            jax.tree.map(lambda a: a[sl], dtr_p),
-            jax.tree.map(lambda a: a[sl], dva_p),
+    chunks = _run_chunks(batched, (
+        (wrap_keys(keys_p[sl]), lambdas_p[sl],
+         jax.tree.map(lambda a, sl=sl: a[sl], dtr_p),
+         jax.tree.map(lambda a, sl=sl: a[sl], dva_p))
+        for sl in (
+            slice(start, start + chunk_size)
+            for start in range(0, n_members + n_pad, chunk_size)
         )
-        # async dispatch; chunk programs queue back-to-back on the device
-        chunks.append(out)
+    ))
     _narrate_chunks(
         "data-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
         n_members, t0,

@@ -79,7 +79,7 @@ def enabled() -> bool:
 
 def _default_enabled(flag, backend: str, platforms: str) -> bool:
     if flag is not None:
-        return flag not in ("0", "false", "")
+        return flag.strip().lower() not in ("0", "false", "no", "off", "")
     return backend != "cpu" and "axon" not in platforms
 
 

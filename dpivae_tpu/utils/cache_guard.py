@@ -119,11 +119,13 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
         try:
             # Per-probe cap must exceed the slowest HEALTHY attach ever
             # observed (649 s, BASELINE.md) — killing a slow-but-live
-            # attach would misclassify it as a hang forever.
+            # attach would misclassify it as a hang forever. Every probe
+            # therefore gets the full 900 s even near the deadline (the
+            # budget bounds when NEW probes start, and may be overshot by
+            # at most one probe).
             res = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True,
-                timeout=min(900, max(60, deadline - time.monotonic())),
+                text=True, timeout=900,
             )
             if res.returncode == 0 and "ok" in res.stdout:
                 if attempt > 1:

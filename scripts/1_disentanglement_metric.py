@@ -226,8 +226,11 @@ def main():
     # program consumes them directly; only the (P,) scores come back) —
     # a host round-trip of the ~65 MB packed probes through the TPU
     # tunnel cost 12-40 s at study scale. Force with one scalar transfer
-    # so the phase boundary is real (block_until_ready is a no-op here).
-    float(np.asarray(jax.tree.leaves(latents)[0]).ravel()[0])
+    # so the phase boundary is real (block_until_ready is a no-op here):
+    # index ON DEVICE first — np.asarray of the full leaf would transfer
+    # the whole multi-MB array to read one element.
+    leaf = jax.tree.leaves(latents)[0]
+    float(np.asarray(leaf[(0,) * leaf.ndim]))
     t0 = mark("latents", t0)
     # One bulk device->host copy; the per-member loops below would
     # otherwise pay ~1s/member for eager device slices (see

@@ -93,6 +93,9 @@ def test_default_enabled_policy():
     assert d(None, "tpu", "") is True  # real local TPU
     assert d("1", "cpu", "cpu") is True
     assert d("0", "tpu", "") is False
+    # Natural falsey spellings must not silently force-enable
+    for off in ("False", "FALSE", "no", "off", " 0 "):
+        assert d(off, "tpu", "") is False, off
 
 
 def test_prune_bounds_directory(aot_env, monkeypatch):
