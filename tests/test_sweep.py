@@ -172,6 +172,31 @@ def test_sweep_checkpoint_resume(tmp_path):
     )
 
 
+def test_sweep_full_resume_skips_aot_compile(tmp_path, monkeypatch):
+    """A fully checkpoint-resumed train_sweep dispatches no fresh chunk,
+    so the (potentially expensive) AOT wrap must never be entered — the
+    lazy wrapper defers it to the first real dispatch."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(11)
+    ckpt = str(tmp_path / "chunks")
+    res_a = train_sweep(cfg, case, lambdas=[0.5, 0.0, -1.0], n_runs=1,
+                        key=key, chunk_size=2, checkpoint_dir=ckpt)
+
+    from dpivae_tpu.utils import aot
+
+    def boom(*a, **k):
+        raise AssertionError("aot_get must not run on a full resume")
+
+    monkeypatch.setattr(aot, "aot_get", boom)
+    monkeypatch.setenv("DPIVAE_AOT", "1")  # even with the cache forced on
+    res_b = train_sweep(cfg, case, lambdas=[0.5, 0.0, -1.0], n_runs=1,
+                        key=key, chunk_size=2, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.logs.train), np.asarray(res_b.logs.train)
+    )
+
+
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as graft
 
