@@ -10,7 +10,8 @@ ref 0_single_run.py:25-27), this is a real CLI:
 Outputs mirror the reference layout: output/<name>/{metrics,figures,
 settings,models} with args.json, per-series metric CSVs, the figure set,
 and (as a framework improvement over the reference, which never saves
-weights) an orbax checkpoint of the trained params.
+weights) a servable orbax checkpoint — params + fitted input scalers +
+config — restorable with ``train.checkpoint.load_model(path, case)``.
 """
 
 import argparse
@@ -48,7 +49,7 @@ def main():
     from dpivae_tpu.config import TrainConfig
     from dpivae_tpu.eval import evaluate_model, run_comparison
     from dpivae_tpu.train import setup_model, train_model
-    from dpivae_tpu.train.checkpoint import save_checkpoint
+    from dpivae_tpu.train.checkpoint import save_model
     from dpivae_tpu.utils.data import sample_response
     from dpivae_tpu.utils.logging import save_logs_csv
 
@@ -117,7 +118,9 @@ def main():
           f"final val ELBO {logs.scalars('ELBO_val')[1][-1]:.4f}")
 
     save_logs_csv(logs, paths["metrics"])
-    save_checkpoint(os.path.join(paths["models"], "params"), params, config=cfg)
+    save_model(
+        os.path.join(paths["models"], "model"), model, params, cfg, case=case
+    )
 
     # Evaluation (ref: 0_single_run.py:115-131)
     dict_metrics, dict_pred = run_comparison(cfg, case, data_train, data_test)

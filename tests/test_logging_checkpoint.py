@@ -9,7 +9,9 @@ from dpivae_tpu.train import setup_model, train_model
 from dpivae_tpu.train.checkpoint import (
     load_checkpoint,
     load_checkpoint_config,
+    load_model,
     save_checkpoint,
+    save_model,
 )
 from dpivae_tpu.utils.data import sample_response
 from dpivae_tpu.utils.logging import load_series_csv, save_logs_csv
@@ -26,7 +28,7 @@ def _train_tiny():
     dva = sample_response(case, k2, cfg.n_val, sample_dist=case.gt_dist())
     model = setup_model(cfg, case, dtr)
     params, logs = train_model(cfg, model, case, dtr, dva, key=jax.random.PRNGKey(1))
-    return cfg, params, logs
+    return case, cfg, model, params, logs
 
 
 def test_csv_writer_backends_value_identical(tmp_path, monkeypatch):
@@ -38,7 +40,7 @@ def test_csv_writer_backends_value_identical(tmp_path, monkeypatch):
     import builtins
     import os
 
-    cfg, params, logs = _train_tiny()
+    case, cfg, model, params, logs = _train_tiny()
     save_logs_csv(logs, str(tmp_path / "fast"))
 
     real_import = builtins.__import__
@@ -70,7 +72,7 @@ def test_csv_writer_backends_value_identical(tmp_path, monkeypatch):
 
 
 def test_csv_roundtrip(tmp_path):
-    cfg, params, logs = _train_tiny()
+    case, cfg, model, params, logs = _train_tiny()
     save_logs_csv(logs, str(tmp_path))
     iters, vals = load_series_csv(str(tmp_path), "ELBO")
     np.testing.assert_array_equal(iters, np.arange(20))
@@ -83,7 +85,7 @@ def test_csv_roundtrip(tmp_path):
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    cfg, params, _ = _train_tiny()
+    case, cfg, model, params, _ = _train_tiny()
     path = str(tmp_path / "ckpt")
     save_checkpoint(path, params, config=cfg)
     restored = load_checkpoint(path, like=params)
@@ -91,3 +93,50 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     cfg2 = load_checkpoint_config(path)
     assert cfg2 == cfg
+
+
+def test_save_load_model_servable(tmp_path):
+    """save_model/load_model rebuilds a ready-to-sample (model, params) in
+    a fresh object graph: same fitted scalers, identical sample outputs —
+    no training data needed at restore time."""
+    case, cfg, model, params, _ = _train_tiny()
+    path = str(tmp_path / "model")
+    save_model(path, model, params, cfg, case=case)
+
+    model2, params2 = load_model(path, case)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for name in ("transform_x", "transform_c", "transform_y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(model, name).mean),
+            np.asarray(getattr(model2, name).mean),
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(model, name).scale),
+            np.asarray(getattr(model2, name).scale),
+        )
+
+    key = jax.random.PRNGKey(7)
+    k1, _ = jax.random.split(key)
+    dte = sample_response(case, k1, 8, sample_dist=case.gt_dist())
+    out_a = model.sample(params, key, dte[0], dte[1], n=3)
+    out_b = model2.sample(params2, key, dte[0], dte[1], n=3)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # Explicit config wins over the sidecar; sidecar parses back to cfg
+    assert load_checkpoint_config(path) == cfg
+
+
+def test_load_model_warns_on_case_fingerprint_mismatch(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    case, cfg, model, params, _ = _train_tiny()
+    path = str(tmp_path / "model")
+    save_model(path, model, params, cfg, case=case)
+
+    changed = dataclasses.replace(case, sigma_x=float(case.sigma_x) * 2.0)
+    with pytest.warns(UserWarning, match="fingerprint"):
+        load_model(path, changed)

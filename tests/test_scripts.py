@@ -38,6 +38,11 @@ def test_single_run_cli(tmp_path):
     # Output layout contract (ref: 0_single_run.py:47-64)
     for sub in ("metrics", "settings", "models"):
         assert (tmp_path / "t0" / sub).exists()
+    # Servable checkpoint: orbax tree + config sidecar + case meta
+    model_ckpt = tmp_path / "t0" / "models" / "model"
+    assert model_ckpt.is_dir()
+    assert (tmp_path / "t0" / "models" / "model.config.json").exists()
+    assert (tmp_path / "t0" / "models" / "model.meta.json").exists()
     with open(tmp_path / "t0" / "settings" / "args.json") as f:
         snap = json.load(f)
     assert snap["model_type"] == "S" and snap["n_iter"] == 40
