@@ -16,6 +16,7 @@ from dpivae_tpu.sweep.sweep import (  # noqa: F401
     member_step_cost,
     train_hyper_sweep,
     member_datasets,
+    export_member,
     sweep_disentanglement_latents,
     sweep_predict_y,
     sweep_sample,

@@ -261,6 +261,40 @@ def member_datasets(config: TrainConfig, case: Case, member_key):
     return data_train, data_val
 
 
+def export_member(
+    config: TrainConfig, case: Case, result: SweepResult, i: int, path: str
+):
+    """Export sweep member ``i`` as a servable checkpoint.
+
+    The study workflow ends with picking a member (best λ, best seed) and
+    deploying it; this replays the member's training data from its base
+    key (scaler parity with how the member actually trained — the sweep
+    loss path refits scalers from that same data in-trace), rebuilds the
+    fitted model via ``setup_model``, and writes a
+    ``train.checkpoint.save_model`` checkpoint with the member's λ and
+    index recorded in the meta sidecar. Restore anywhere with
+    ``load_model(path, case)`` — no sweep state needed.
+
+    Returns the (model, params) pair that was saved.
+    """
+    from dpivae_tpu.train.checkpoint import save_model
+    from dpivae_tpu.train.setup import setup_model
+
+    member_key = result.keys[i]
+    if not jnp.issubdtype(jnp.asarray(member_key).dtype, jax.dtypes.prng_key):
+        # host() copies degrade typed keys to raw uint32 key data
+        member_key = jax.random.wrap_key_data(jnp.asarray(member_key))
+    data_train, _ = member_datasets(config, case, member_key)
+    model = setup_model(config, case, jax.tree.map(np.asarray, data_train))
+    params = jax.tree.map(np.asarray, result.member_params(i))
+    save_model(
+        path, model, params, config, case=case,
+        extra_meta={"sweep_member": int(i),
+                    "lambda": float(np.asarray(result.lambdas[i]))},
+    )
+    return model, params
+
+
 def build_member_fn(
     config: TrainConfig,
     case: Case,

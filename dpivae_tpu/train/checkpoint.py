@@ -54,7 +54,14 @@ def load_checkpoint_config(path: str) -> TrainConfig:
 _SCALER_NAMES = ("transform_x", "transform_c", "transform_y")
 
 
-def save_model(path: str, model, params: dict, config: TrainConfig, case=None) -> None:
+def save_model(
+    path: str,
+    model,
+    params: dict,
+    config: TrainConfig,
+    case=None,
+    extra_meta: Optional[dict] = None,
+) -> None:
     """Save a SERVABLE checkpoint: params plus the model's fitted input
     scalers, with the config as a JSON sidecar.
 
@@ -70,7 +77,8 @@ def save_model(path: str, model, params: dict, config: TrainConfig, case=None) -
     ``case`` (optional) adds a ``.meta.json`` sidecar with the case name
     and content fingerprint; ``load_model`` warns if restoring against a
     case whose definition (priors, factor table, surrogate weights) has
-    since changed.
+    since changed. ``extra_meta`` merges additional JSON-serializable
+    provenance into that sidecar (e.g. a sweep member's λ and index).
     """
     path = os.path.abspath(path)
     tree = {
@@ -86,11 +94,12 @@ def save_model(path: str, model, params: dict, config: TrainConfig, case=None) -
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree)
     config.save_json(path + ".config.json")
-    if case is not None:
+    if case is not None or extra_meta:
+        meta = dict(extra_meta or {})
+        if case is not None:
+            meta.update(case=case.name, case_fingerprint=case.fingerprint())
         with open(path + ".meta.json", "w") as f:
-            json.dump(
-                {"case": case.name, "case_fingerprint": case.fingerprint()}, f
-            )
+            json.dump(meta, f)
 
 
 def load_model(

@@ -444,3 +444,47 @@ def test_hyper_sweep_mesh_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
         )
+
+
+def test_export_member_servable(tmp_path):
+    """export_member replays the member's data for scaler parity and
+    writes a checkpoint load_model restores to identical sample outputs,
+    from BOTH a device-resident and a host() SweepResult."""
+    from dpivae_tpu.sweep import export_member
+    from dpivae_tpu.train.checkpoint import load_model
+    from dpivae_tpu.utils.data import sample_response
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    res = train_sweep(cfg, case, lambdas=[1 / 256, -1.0], n_runs=1)
+
+    model, params = export_member(cfg, case, res, 1, str(tmp_path / "m1"))
+    model2, params2 = load_model(str(tmp_path / "m1"), case)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    key = jax.random.PRNGKey(9)
+    dte = sample_response(case, key, 8, sample_dist=case.gt_dist())
+    out_a = model.sample(params, key, dte[0], dte[1], n=2)
+    out_b = model2.sample(params2, key, dte[0], dte[1], n=2)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # host() degrades typed keys to raw key data; export must still replay
+    # the same member (identical scalers/params -> identical checkpoint)
+    model3, params3 = export_member(
+        cfg, case, res.host(), 1, str(tmp_path / "m1h")
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.transform_x.mean), np.asarray(model3.transform_x.mean)
+    )
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    import json
+
+    with open(tmp_path / "m1.meta.json") as f:
+        meta = json.load(f)
+    assert meta["sweep_member"] == 1
+    np.testing.assert_allclose(meta["lambda"], -1.0, rtol=1e-6)
+    assert meta["case"] == "simple_beam"
