@@ -15,6 +15,8 @@ into one batched device program:
 from __future__ import annotations
 
 import functools
+import hashlib
+import json
 import os
 import sys
 import time
@@ -561,6 +563,44 @@ def _load_chunk(path: str, params_treedef, expect_members: int):
     return jax.tree.unflatten(params_treedef, leaves), logs
 
 
+def _sweep_manifest(
+    config: TrainConfig, case: Case, keys_h, lambdas_h, n_members: int
+) -> dict:
+    """Identity of a checkpointed sweep: everything that determines its
+    member results. Chunk files are keyed only by start index, so a rerun
+    into the same dir with a different grid/config whose member count
+    happens to match would otherwise resume foreign chunks silently."""
+    h = hashlib.sha256()
+    h.update(config.to_json().encode())
+    h.update(case.fingerprint().encode())
+    h.update(np.ascontiguousarray(lambdas_h[:n_members]).tobytes())
+    h.update(np.ascontiguousarray(keys_h[:n_members]).tobytes())
+    return {"digest": h.hexdigest(), "n_members": int(n_members)}
+
+
+def _check_sweep_manifest(checkpoint_dir: str, manifest: dict) -> bool:
+    """Write/refresh the manifest; return False when existing chunk files
+    belong to a DIFFERENT sweep (they are then skipped, not loaded)."""
+    path = os.path.join(checkpoint_dir, "manifest.json")
+    resume_ok = True
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            old = {}
+        if old.get("digest") != manifest["digest"]:
+            resume_ok = False
+            _progress(
+                "[sweep] checkpoint dir was written by a different sweep "
+                "(config/case/grid/keys changed) — ignoring its chunks and "
+                "recomputing"
+            )
+    with open(path, "w") as f:
+        json.dump(manifest, f)
+    return resume_ok
+
+
 def _host_keys(keys):
     """(host_array, wrap) for member keys: typed jax.random.key arrays
     cannot pass through np.asarray, so slice their raw key data on the
@@ -606,8 +646,10 @@ def train_sweep(
             >= n_members disables chunking.
         checkpoint_dir: if set (chunked, non-mesh path), every completed
             chunk is saved as an npz and a rerun of the identical sweep
-            resumes from the completed chunks. The member grid and config
-            must match between runs; chunks are keyed by start index.
+            resumes from the completed chunks. A manifest digest of
+            (config, case, λ grid, member keys) guards the dir: chunks
+            written by a different sweep are ignored and recomputed, not
+            silently resumed.
         chunk_callback: if set (non-mesh path), called as
             ``callback(member_start, params_chunk, logs_chunk)`` with HOST
             numpy arrays for every completed chunk (fresh or resumed,
@@ -733,8 +775,13 @@ def train_sweep(
             TrainLogs(*jax.tree.map(lambda a: a[:n_keep], tuple(out_host[1]))),
         )
 
+    resume_ok = True
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
+        resume_ok = _check_sweep_manifest(
+            checkpoint_dir,
+            _sweep_manifest(config, case, keys_h, lambdas_h, n_members),
+        )
 
     chunks = []
     n_chunks = (n_members + n_pad) // chunk_size
@@ -778,7 +825,7 @@ def train_sweep(
                 None if checkpoint_dir is None
                 else f"{checkpoint_dir}/chunk_{start:06d}.npz"
             )
-            if ckpt_path is not None and os.path.exists(ckpt_path):
+            if resume_ok and ckpt_path is not None and os.path.exists(ckpt_path):
                 loaded = _load_chunk(ckpt_path, _treedef(), chunk_size)
                 if loaded is not None:
                     chunks.append(loaded)

@@ -161,7 +161,7 @@ def test_sweep_checkpoint_resume(tmp_path):
     import os
 
     files = sorted(os.listdir(ckpt))
-    assert files == ["chunk_000000.npz", "chunk_000002.npz"]
+    assert files == ["chunk_000000.npz", "chunk_000002.npz", "manifest.json"]
     # corrupt-resistant resume: second run must load, not retrain
     res_b = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
                         key=key, chunk_size=2, checkpoint_dir=ckpt)
@@ -488,3 +488,35 @@ def test_export_member_servable(tmp_path):
     assert meta["sweep_member"] == 1
     np.testing.assert_allclose(meta["lambda"], -1.0, rtol=1e-6)
     assert meta["case"] == "simple_beam"
+
+
+def test_sweep_checkpoint_foreign_grid_not_resumed(tmp_path):
+    """Chunk files whose member count happens to match but that were
+    written by a DIFFERENT sweep (different λ grid here) must be ignored:
+    the manifest digest of (config, case, grid, keys) detects the
+    mismatch and the run recomputes instead of silently resuming."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(13)
+    ckpt = str(tmp_path / "chunks")
+    grid_a = [0.5, -0.5]
+    grid_b = [0.05, -0.9]  # same member count, different sweep
+    res_a = train_sweep(cfg, case, lambdas=grid_a, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)
+    res_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)
+    fresh_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                          chunk_size=1)
+    # B must equal a clean B run, and differ from the stale A chunks
+    for a, b in zip(jax.tree.leaves(res_b.params),
+                    jax.tree.leaves(fresh_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    pa = np.asarray(jax.tree.leaves(res_a.params)[0])
+    pb = np.asarray(jax.tree.leaves(res_b.params)[0])
+    assert not np.allclose(pa, pb)
+    # ...and the refreshed manifest lets the B grid resume normally now
+    res_b2 = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                         chunk_size=1, checkpoint_dir=ckpt)
+    for a, b in zip(jax.tree.leaves(res_b.params),
+                    jax.tree.leaves(res_b2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
