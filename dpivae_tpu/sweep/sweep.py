@@ -110,6 +110,8 @@ def train_hyper_sweep(
     chunk_size: Union[int, str, None] = "auto",
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
+    checkpoint_dir: Optional[str] = None,
+    chunk_callback=None,
 ) -> HyperSweepResult:
     """Train a hyperparameter grid as one batched vmapped program.
 
@@ -133,6 +135,10 @@ def train_hyper_sweep(
         mesh: optional device mesh; members shard over ``member_axis``
             (padded to the axis size, pads trained and dropped), with the
             same optional 2-D "dp" batch sharding as ``train_sweep``.
+        checkpoint_dir / chunk_callback: chunk persistence/resume and
+            host-side chunk streaming, exactly as in ``train_sweep``
+            (chunked non-mesh path; the manifest digest covers the hyper
+            grid columns too).
 
     Returns:
         HyperSweepResult ordered row-major over (grid row, run).
@@ -168,6 +174,12 @@ def train_hyper_sweep(
 
     grid_out = dict(zip(fields, cols))
     if mesh is not None:
+        if chunk_callback is not None or checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir/chunk_callback require the chunked "
+                "(non-mesh) path — the mesh path runs as one sharded "
+                "program with no chunks"
+            )
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
         batched = _SWEEP_JIT_CACHE.get(
             ("train_hyper_sweep_mesh", config, case.fingerprint(), fields, mesh,
@@ -209,7 +221,11 @@ def train_hyper_sweep(
         chunk_size = auto_chunk_size(n_members, config.n_iter, config)
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
-    if chunk_size is None or chunk_size >= n_members:
+    if (
+        (chunk_size is None or chunk_size >= n_members)
+        and checkpoint_dir is None
+        and chunk_callback is None
+    ):
         batched = _aot(
             ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
             (keys, lam_m, hyper_m),
@@ -217,6 +233,7 @@ def train_hyper_sweep(
         params, logs = batched(keys, lam_m, hyper_m)
         return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
+    chunk_size = min(chunk_size or n_members, n_members)
     n_pad = (-n_members) % chunk_size
     pad = lambda a: (
         np.concatenate([np.asarray(a), np.asarray(a)[-1:].repeat(n_pad, 0)])
@@ -227,24 +244,28 @@ def train_hyper_sweep(
         if n_pad else keys_h
     lam_p = pad(lam_m)
     hyper_p = tuple(pad(c) for c in hyper_m)
-    batched = _aot(
-        ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
-        lambda: (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
-                 tuple(c[:chunk_size] for c in hyper_p)),
+    params, logs = _chunked_execute(
+        make_batched=lambda: _aot(
+            ("train_hyper_sweep", config, case.fingerprint(), fields), batched,
+            lambda: (wrap_keys(keys_p[:chunk_size]), lam_p[:chunk_size],
+                     tuple(c[:chunk_size] for c in hyper_p)),
+        ),
+        slice_args=lambda sl: (
+            wrap_keys(keys_p[sl]), lam_p[sl], tuple(c[sl] for c in hyper_p)
+        ),
+        n_members=n_members,
+        chunk_size=chunk_size,
+        treedef_thunk=_treedef_thunk(config, case),
+        checkpoint_dir=checkpoint_dir,
+        chunk_callback=chunk_callback,
+        manifest=(
+            _sweep_manifest(
+                config, case, (keys_p, lam_p, *hyper_p), n_members
+            )
+            if checkpoint_dir is not None else None
+        ),
+        label="hyper-sweep",
     )
-    t0 = time.perf_counter()
-    chunks = _run_chunks(batched, (
-        (wrap_keys(keys_p[sl]), lam_p[sl], tuple(c[sl] for c in hyper_p))
-        for sl in (
-            slice(start, start + chunk_size)
-            for start in range(0, n_members + n_pad, chunk_size)
-        )
-    ))
-    _narrate_chunks(
-        "hyper-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
-        n_members, t0,
-    )
-    params, logs = _concat_chunks(chunks, n_members)
     return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
 
@@ -387,28 +408,6 @@ def _progress(msg: str) -> None:
     """One narrator line on stderr (multi-minute studies must not run
     silent; stdout stays clean for driver-parsed output)."""
     print(msg, file=sys.stderr, flush=True)
-
-
-def _narrate_chunks(
-    label: str, fresh, n_chunks: int, chunk_size: int, n_members: int,
-    t0: float,
-) -> None:
-    """Print one completion line per dispatched chunk.
-
-    All chunk programs are already queued on the device (async dispatch);
-    forcing each in order just *waits* for it — the queue keeps draining
-    at full throughput — so narration costs one tiny host transfer per
-    chunk, not serialization.
-    """
-    if n_chunks <= 1:
-        return
-    for i, out in fresh:
-        _force(out)
-        _progress(
-            f"[{label}] chunk {i + 1}/{n_chunks} done "
-            f"({min((i + 1) * chunk_size, n_members)}/{n_members} members, "
-            f"{time.perf_counter() - t0:.1f}s)"
-        )
 
 
 # Members per batched latent-extraction program. One shared default for
@@ -564,17 +563,23 @@ def _load_chunk(path: str, params_treedef, expect_members: int):
 
 
 def _sweep_manifest(
-    config: TrainConfig, case: Case, keys_h, lambdas_h, n_members: int
+    config: TrainConfig, case: Case, arrays, n_members: int
 ) -> dict:
     """Identity of a checkpointed sweep: everything that determines its
     member results. Chunk files are keyed only by start index, so a rerun
     into the same dir with a different grid/config whose member count
-    happens to match would otherwise resume foreign chunks silently."""
+    happens to match would otherwise resume foreign chunks silently.
+
+    ``arrays`` are the member-identity columns (keys, λs, hyper columns,
+    per-member datasets — whatever the sweep flavor trains on), digested
+    over their unpadded [:n_members] slices."""
     h = hashlib.sha256()
     h.update(config.to_json().encode())
     h.update(case.fingerprint().encode())
-    h.update(np.ascontiguousarray(lambdas_h[:n_members]).tobytes())
-    h.update(np.ascontiguousarray(keys_h[:n_members]).tobytes())
+    for a in arrays:
+        a = np.ascontiguousarray(np.asarray(a)[:n_members])
+        h.update(str((a.shape, a.dtype.str)).encode())
+        h.update(a.tobytes())
     return {"digest": h.hexdigest(), "n_members": int(n_members)}
 
 
@@ -599,6 +604,167 @@ def _check_sweep_manifest(checkpoint_dir: str, manifest: dict) -> bool:
     with open(path, "w") as f:
         json.dump(manifest, f)
     return resume_ok
+
+
+def _treedef_thunk(config: TrainConfig, case: Case):
+    """Lazy params-treedef: only resumed chunk files need it to unflatten,
+    so a fresh run never pays the template init. Host CPU: the treedef is
+    backend-independent structure, and an eager init on the tunneled TPU
+    pays ~1s/op remote compile across the template's many init ops."""
+    from dpivae_tpu.utils import on_host_cpu
+
+    holder = []
+
+    def thunk():
+        if not holder:
+            with on_host_cpu():
+                holder.append(jax.tree.structure(
+                    make_template_model(config, case).init(
+                        jax.random.PRNGKey(0)
+                    )
+                ))
+        return holder[0]
+
+    return thunk
+
+
+def _chunked_execute(
+    make_batched,
+    slice_args,
+    n_members: int,
+    chunk_size: int,
+    treedef_thunk,
+    checkpoint_dir: Optional[str] = None,
+    chunk_callback=None,
+    manifest: Optional[dict] = None,
+    label: str = "sweep",
+):
+    """Chunked sweep executor shared by every sweep entry point.
+
+    Runs ``(n_members padded to a chunk multiple) / chunk_size`` invocations
+    of one compiled program and concatenates their (params, logs) results:
+
+    - ``make_batched()`` builds the program LAZILY, on the first fresh
+      (non-resumed) chunk only — a fully checkpoint-resumed run never pays
+      the AOT/compile wrap.
+    - ``slice_args(sl)`` materializes one padded chunk's argument tuple;
+      slicing must be host-side (eager device slices serialize the chunk
+      pipeline on the tunneled backend).
+    - With ``checkpoint_dir``: every completed chunk persists as npz, a
+      rerun resumes from completed chunks, and ``manifest`` (see
+      ``_sweep_manifest``) guards against resuming chunks written by a
+      different sweep.
+    - With ``chunk_callback(start, params_chunk, logs_chunk)``: completed
+      chunks stream to the caller as HOST numpy (padding trimmed) while
+      later chunks still compute — per-member host IO overlaps device
+      compute.
+
+    Dispatch goes through a single-worker thread: the jit fastpath returns
+    immediately, but an AOT-loaded executable's call can block until the
+    program completes on the tunneled TPU — measured at study scale,
+    blocking dispatch here serialized all device work ahead of every host
+    copy and cost the entire overlap (~11 s on the 66-member study). The
+    ~2-minute transport deadline is per *program*; a queue of short
+    programs is safe.
+    """
+    n_pad = (-n_members) % chunk_size
+    hosted = checkpoint_dir is not None or chunk_callback is not None
+
+    def _emit(start: int, out_host) -> None:
+        if chunk_callback is None:
+            return
+        n_keep = min(chunk_size, n_members - start)
+        chunk_callback(
+            start,
+            jax.tree.map(lambda a: a[:n_keep], out_host[0]),
+            TrainLogs(*jax.tree.map(lambda a: a[:n_keep], tuple(out_host[1]))),
+        )
+
+    resume_ok = True
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        resume_ok = _check_sweep_manifest(checkpoint_dir, manifest)
+
+    chunks = []
+    n_chunks = (n_members + n_pad) // chunk_size
+    fresh = []  # (chunk index, future) for post-dispatch forcing/saving
+    save_paths = {}
+    batched = None  # built lazily by make_batched on the first fresh chunk
+
+    t0 = time.perf_counter()
+    dispatcher = ThreadPoolExecutor(max_workers=1)
+    # The try covers BOTH passes: an exception anywhere (a failing
+    # chunk_callback in _emit, checkpoint IO, a device fault) must still
+    # shut the dispatcher down, or queued chunk programs keep running —
+    # and keep holding the serialized device — behind the raised error.
+    try:
+        for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
+            sl = slice(start, start + chunk_size)
+            ckpt_path = (
+                None if checkpoint_dir is None
+                else f"{checkpoint_dir}/chunk_{start:06d}.npz"
+            )
+            if resume_ok and ckpt_path is not None and os.path.exists(ckpt_path):
+                loaded = _load_chunk(ckpt_path, treedef_thunk(), chunk_size)
+                if loaded is not None:
+                    chunks.append(loaded)
+                    _emit(start, loaded)
+                    if n_chunks > 1:
+                        _progress(
+                            f"[{label}] chunk {i + 1}/{n_chunks} resumed "
+                            "from checkpoint"
+                        )
+                    continue
+                _progress(
+                    f"{label} checkpoint {ckpt_path} has a different chunk "
+                    "size (stale chunking); recomputing this chunk"
+                )
+            if batched is None:
+                batched = make_batched()
+            fut = dispatcher.submit(batched, *slice_args(sl))
+            if ckpt_path is not None:
+                save_paths[i] = ckpt_path
+            fresh.append((i, fut))
+            chunks.append(fut)  # placeholder, replaced in the force pass
+        for i, fut in fresh:
+            out = fut.result()
+            chunks[i] = out  # chunk i is chunks[i]: one append per chunk
+            _force(out)  # waits for this chunk; later chunks keep computing
+            if hosted:
+                # One device->host copy per chunk, reused for the npz save,
+                # the chunk callback, AND the host-side concat below.
+                host = jax.tree.map(np.asarray, out)
+                if i in save_paths:
+                    _save_chunk(save_paths[i], host)
+                chunks[i] = host
+                _emit(i * chunk_size, host)
+            if n_chunks > 1:
+                _progress(
+                    f"[{label}] chunk {i + 1}/{n_chunks} done "
+                    f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
+                    f"members, {time.perf_counter() - t0:.1f}s)"
+                )
+    finally:
+        dispatcher.shutdown(wait=False, cancel_futures=True)
+    t_asm = time.perf_counter()
+    if hosted:
+        # Every chunk is already host numpy (saved, loaded, or emitted):
+        # concatenate on host. A device concat program here would pay a
+        # fresh XLA compile (~270 args for the 6-chunk study) plus
+        # re-uploads for zero benefit.
+        params, logs = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs])
+            [:n_members],
+            *chunks,
+        )
+    else:
+        params, logs = _concat_chunks(chunks, n_members)
+    if n_chunks > 1:
+        _progress(
+            f"[{label}] assembled {n_members} members in "
+            f"{time.perf_counter() - t_asm:.1f}s"
+        )
+    return params, logs
 
 
 def _host_keys(keys):
@@ -746,145 +912,26 @@ def train_sweep(
     if n_pad:
         keys_h = np.concatenate([keys_h, keys_h[-1:].repeat(n_pad, 0)])
         lambdas_h = np.concatenate([lambdas_h, lambdas_h[-1:].repeat(n_pad)])
-    params_treedef = None
 
-    def _treedef():
-        # Lazy: only needed to unflatten RESUMED chunk files, so a fresh
-        # run never pays this. Host CPU: the treedef is backend-independent
-        # structure, and an eager init on the tunneled TPU pays ~1s/op
-        # remote compile across the template's many init ops.
-        nonlocal params_treedef
-        if params_treedef is None:
-            with on_host_cpu():
-                params_treedef = jax.tree.structure(
-                    make_template_model(config, case).init(
-                        jax.random.PRNGKey(0)
-                    )
-                )
-        return params_treedef
-
-    hosted = checkpoint_dir is not None or chunk_callback is not None
-
-    def _emit(start: int, out_host) -> None:
-        if chunk_callback is None:
-            return
-        n_keep = min(chunk_size, n_members - start)
-        chunk_callback(
-            start,
-            jax.tree.map(lambda a: a[:n_keep], out_host[0]),
-            TrainLogs(*jax.tree.map(lambda a: a[:n_keep], tuple(out_host[1]))),
-        )
-
-    resume_ok = True
-    if checkpoint_dir is not None:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        resume_ok = _check_sweep_manifest(
-            checkpoint_dir,
-            _sweep_manifest(config, case, keys_h, lambdas_h, n_members),
-        )
-
-    chunks = []
-    n_chunks = (n_members + n_pad) // chunk_size
-    fresh = []  # (chunk index, result) for post-dispatch forcing/saving
-    save_paths = {}
-    # Lazy AOT wrap: a fully checkpoint-resumed run dispatches no fresh
-    # chunk and must not pay the eager lower+compile+serialize.
-    jitted, aot_wrapped = batched, None
-
-    def batched(*args):
-        nonlocal aot_wrapped
-        if aot_wrapped is None:
-            aot_wrapped = _aot(
-                ("train_sweep", config, case.fingerprint()), jitted,
-                lambda: (wrap_keys(keys_h[:chunk_size]),
-                         lambdas_h[:chunk_size]),
-            )
-        return aot_wrapped(*args)
-
-    t0 = time.perf_counter()
-    # Dispatch loop: queue every fresh chunk program on the device without
-    # forcing, so chunks run back-to-back while the second pass below
-    # overlaps host IO (copies, npz saves, CSV emits) with device compute
-    # of the still-queued later chunks. (The ~2-minute transport deadline
-    # is per *program*; a queue of short programs is safe.) Calls go
-    # through a single-worker dispatcher thread because dispatch latency
-    # is backend-dependent: the jit fastpath returns immediately, but an
-    # AOT-loaded executable's call can block until the program completes
-    # on the tunneled TPU — measured at study scale, blocking dispatch in
-    # this loop serialized all device work ahead of every host copy and
-    # cost the entire overlap (~11 s on the 66-member study).
-    dispatcher = ThreadPoolExecutor(max_workers=1)
-    # The try covers BOTH passes: an exception anywhere (a failing
-    # chunk_callback in _emit, checkpoint IO, a device fault) must still
-    # shut the dispatcher down, or queued chunk programs keep running —
-    # and keep holding the serialized device — behind the raised error.
-    try:
-        for i, start in enumerate(range(0, n_members + n_pad, chunk_size)):
-            sl = slice(start, start + chunk_size)
-            ckpt_path = (
-                None if checkpoint_dir is None
-                else f"{checkpoint_dir}/chunk_{start:06d}.npz"
-            )
-            if resume_ok and ckpt_path is not None and os.path.exists(ckpt_path):
-                loaded = _load_chunk(ckpt_path, _treedef(), chunk_size)
-                if loaded is not None:
-                    chunks.append(loaded)
-                    _emit(start, loaded)
-                    if n_chunks > 1:
-                        _progress(
-                            f"[sweep] chunk {i + 1}/{n_chunks} resumed from "
-                            f"checkpoint"
-                        )
-                    continue
-                _progress(
-                    f"sweep checkpoint {ckpt_path} has a different chunk "
-                    "size (stale chunking); recomputing this chunk"
-                )
-            fut = dispatcher.submit(
-                batched, wrap_keys(keys_h[sl]), lambdas_h[sl]
-            )
-            if ckpt_path is not None:
-                save_paths[i] = ckpt_path
-            fresh.append((i, fut))
-            chunks.append(fut)  # placeholder, replaced in the force pass
-        for i, fut in fresh:
-            out = fut.result()
-            chunks[i] = out  # chunk i is chunks[i]: one append per chunk
-            _force(out)  # waits for this chunk; later chunks keep computing
-            if hosted:
-                # One device->host copy per chunk, reused for the npz save,
-                # the chunk callback, AND the host-side concat below.
-                host = jax.tree.map(np.asarray, out)
-                if i in save_paths:
-                    _save_chunk(save_paths[i], host)
-                chunks[i] = host
-                _emit(i * chunk_size, host)
-            if n_chunks > 1:
-                _progress(
-                    f"[sweep] chunk {i + 1}/{n_chunks} done "
-                    f"({min((i + 1) * chunk_size, n_members)}/{n_members} "
-                    f"members, {time.perf_counter() - t0:.1f}s)"
-                )
-    finally:
-        dispatcher.shutdown(wait=False, cancel_futures=True)
-    t_asm = time.perf_counter()
-    if hosted:
-        # Every chunk is already host numpy (saved, loaded, or emitted):
-        # concatenate on host. A device concat program here would pay a
-        # fresh XLA compile (~270 args for the 6-chunk study) plus
-        # re-uploads for zero benefit.
-        params, logs = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs])
-            [:n_members],
-            *chunks,
-        )
-    else:
-        params, logs = _concat_chunks(chunks, n_members)
-    if n_chunks > 1:
-        _progress(
-            f"[sweep] assembled {n_members} members in "
-            f"{time.perf_counter() - t_asm:.1f}s"
-        )
+    params, logs = _chunked_execute(
+        # Lazy AOT wrap: a fully checkpoint-resumed run dispatches no fresh
+        # chunk and must not pay the eager lower+compile+serialize.
+        make_batched=lambda: _aot(
+            ("train_sweep", config, case.fingerprint()), batched,
+            lambda: (wrap_keys(keys_h[:chunk_size]), lambdas_h[:chunk_size]),
+        ),
+        slice_args=lambda sl: (wrap_keys(keys_h[sl]), lambdas_h[sl]),
+        n_members=n_members,
+        chunk_size=chunk_size,
+        treedef_thunk=_treedef_thunk(config, case),
+        checkpoint_dir=checkpoint_dir,
+        chunk_callback=chunk_callback,
+        manifest=(
+            _sweep_manifest(config, case, (keys_h, lambdas_h), n_members)
+            if checkpoint_dir is not None else None
+        ),
+        label="sweep",
+    )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
 
@@ -1158,6 +1205,8 @@ def train_sweep_data(
     mesh: Optional[Mesh] = None,
     member_axis: str = "sweep",
     chunk_size: Union[int, str, None] = "auto",
+    checkpoint_dir: Optional[str] = None,
+    chunk_callback=None,
 ) -> SweepResult:
     """Sweep over *host-provided* per-member datasets.
 
@@ -1167,6 +1216,10 @@ def train_sweep_data(
     different quadrant-mixture distribution. The grid trains as vmapped
     programs of ``chunk_size`` members (see train_sweep: long single
     programs trip the TPU transport), optionally mesh-sharded instead.
+    ``checkpoint_dir``/``chunk_callback`` behave exactly as in
+    ``train_sweep`` (chunked non-mesh path; the manifest digest covers the
+    per-member datasets too, so swapping datasets never resumes foreign
+    chunks).
     """
     lambdas = jnp.asarray(lambdas, jnp.float32)
     n_members = lambdas.shape[0]
@@ -1195,6 +1248,12 @@ def train_sweep_data(
         ("train_sweep_data", config, case.fingerprint()), build
     )
     if mesh is not None:
+        if chunk_callback is not None or checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir/chunk_callback require the chunked "
+                "(non-mesh) path — the mesh path runs as one sharded "
+                "program with no chunks"
+            )
         sharding = NamedSharding(mesh, P(member_axis))
         if n_members % mesh.shape[member_axis]:
             raise ValueError(
@@ -1214,7 +1273,11 @@ def train_sweep_data(
         chunk_size = auto_chunk_size(n_members, config.n_iter, config)
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
-    if chunk_size is None or chunk_size >= n_members:
+    if (
+        (chunk_size is None or chunk_size >= n_members)
+        and checkpoint_dir is None
+        and chunk_callback is None
+    ):
         batched = _aot(
             ("train_sweep_data", config, case.fingerprint()), batched,
             (keys, lambdas, data_train, data_val),
@@ -1222,6 +1285,7 @@ def train_sweep_data(
         params, logs = batched(keys, lambdas, data_train, data_val)
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
+    chunk_size = min(chunk_size or n_members, n_members)
     n_pad = (-n_members) % chunk_size
     # Host-side (numpy) padding + per-chunk slicing: eager device slices
     # would serialize the chunk pipeline on the tunneled backend.
@@ -1234,25 +1298,31 @@ def train_sweep_data(
     dtr_p = jax.tree.map(pad, data_train)
     dva_p = jax.tree.map(pad, data_val)
     first = slice(0, chunk_size)
-    batched = _aot(
-        ("train_sweep_data", config, case.fingerprint()), batched,
-        lambda: (wrap_keys(keys_p[first]), lambdas_p[first],
-                 jax.tree.map(lambda a: a[first], dtr_p),
-                 jax.tree.map(lambda a: a[first], dva_p)),
+    params, logs = _chunked_execute(
+        make_batched=lambda: _aot(
+            ("train_sweep_data", config, case.fingerprint()), batched,
+            lambda: (wrap_keys(keys_p[first]), lambdas_p[first],
+                     jax.tree.map(lambda a: a[first], dtr_p),
+                     jax.tree.map(lambda a: a[first], dva_p)),
+        ),
+        slice_args=lambda sl: (
+            wrap_keys(keys_p[sl]), lambdas_p[sl],
+            jax.tree.map(lambda a: a[sl], dtr_p),
+            jax.tree.map(lambda a: a[sl], dva_p),
+        ),
+        n_members=n_members,
+        chunk_size=chunk_size,
+        treedef_thunk=_treedef_thunk(config, case),
+        checkpoint_dir=checkpoint_dir,
+        chunk_callback=chunk_callback,
+        manifest=(
+            _sweep_manifest(
+                config, case,
+                (keys_p, lambdas_p, *jax.tree.leaves((dtr_p, dva_p))),
+                n_members,
+            )
+            if checkpoint_dir is not None else None
+        ),
+        label="data-sweep",
     )
-    t0 = time.perf_counter()
-    chunks = _run_chunks(batched, (
-        (wrap_keys(keys_p[sl]), lambdas_p[sl],
-         jax.tree.map(lambda a, sl=sl: a[sl], dtr_p),
-         jax.tree.map(lambda a, sl=sl: a[sl], dva_p))
-        for sl in (
-            slice(start, start + chunk_size)
-            for start in range(0, n_members + n_pad, chunk_size)
-        )
-    ))
-    _narrate_chunks(
-        "data-sweep", list(enumerate(chunks)), len(chunks), chunk_size,
-        n_members, t0,
-    )
-    params, logs = _concat_chunks(chunks, n_members)
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

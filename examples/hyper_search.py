@@ -5,7 +5,9 @@ trained serially. Here a grid over any traceable config fields (per-group
 learning rates, weight decays, grad-clip norm, β/α loss weights; see
 ``train.TRACEABLE_HYPER_FIELDS``) trains as a single vmapped XLA program:
 the values are *traced member inputs*, so the whole grid costs one compile
-regardless of its size.
+regardless of its size. Like every sweep trainer it also takes
+``checkpoint_dir=`` (chunk-level resume, manifest-guarded) and
+``chunk_callback=`` (stream completed chunks during training).
 
 This demo crosses learning rate × weight decay for the beam S-model and
 ranks the grid by seed-averaged final validation loss.

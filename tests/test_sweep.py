@@ -520,3 +520,84 @@ def test_sweep_checkpoint_foreign_grid_not_resumed(tmp_path):
     for a, b in zip(jax.tree.leaves(res_b.params),
                     jax.tree.leaves(res_b2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hyper_sweep_checkpoint_resume_and_callback(tmp_path):
+    """train_hyper_sweep shares the chunked engine: chunk checkpoints
+    resume identically and chunk_callback streams host chunks."""
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    grid = {"lr_e": [1e-3, 3e-4, 1e-4]}
+    ckpt = str(tmp_path / "chunks")
+    seen = []
+
+    def cb(start, params_chunk, logs_chunk):
+        seen.append((start, jax.tree.leaves(logs_chunk)[0].shape[0]))
+
+    res_a = train_hyper_sweep(cfg, case, grid, n_runs=1, chunk_size=2,
+                              checkpoint_dir=ckpt, chunk_callback=cb)
+    assert seen == [(0, 2), (2, 1)]  # 3 members, chunk 2: trimmed tail
+    res_b = train_hyper_sweep(cfg, case, grid, n_runs=1, chunk_size=2,
+                              checkpoint_dir=ckpt)
+    for a, b in zip(jax.tree.leaves(res_a.params),
+                    jax.tree.leaves(res_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # foreign grid (same member count) is not resumed
+    res_c = train_hyper_sweep(cfg, case, {"lr_e": [5e-3, 5e-4, 5e-5]},
+                              n_runs=1, chunk_size=2, checkpoint_dir=ckpt)
+    fresh_c = train_hyper_sweep(cfg, case, {"lr_e": [5e-3, 5e-4, 5e-5]},
+                                n_runs=1, chunk_size=2)
+    for a, b in zip(jax.tree.leaves(res_c.params),
+                    jax.tree.leaves(fresh_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_data_sweep_checkpoint_resume_and_callback(tmp_path):
+    """train_sweep_data shares the chunked engine; the manifest digests
+    the per-member datasets, so swapping data never resumes foreign
+    chunks."""
+    from dpivae_tpu.sweep import train_sweep_data
+    from dpivae_tpu.utils.data import sample_response
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(21)
+
+    def make_data(salt):
+        ks = jax.random.split(jax.random.fold_in(key, salt), 6)
+        mk = lambda k, n: jax.tree.map(
+            np.asarray,
+            sample_response(case, k, n, sample_dist=case.gt_dist())[:3],
+        )
+        stack = lambda parts: tuple(
+            np.stack([p[i] for p in parts]) for i in range(3)
+        )
+        return (stack([mk(k, cfg.n_train) for k in ks[:3]]),
+                stack([mk(k, cfg.n_val) for k in ks[3:]]))
+
+    dtr_a, dva_a = make_data(0)
+    lam = np.zeros(3, np.float32)
+    ckpt = str(tmp_path / "chunks")
+    seen = []
+    res_a = train_sweep_data(
+        cfg, case, lam, dtr_a, dva_a, key=key, chunk_size=2,
+        checkpoint_dir=ckpt,
+        chunk_callback=lambda s, p, l: seen.append(s),
+    )
+    assert seen == [0, 2]
+    res_b = train_sweep_data(cfg, case, lam, dtr_a, dva_a, key=key,
+                             chunk_size=2, checkpoint_dir=ckpt)
+    for a, b in zip(jax.tree.leaves(res_a.params),
+                    jax.tree.leaves(res_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different datasets, same shapes -> manifest mismatch -> recompute
+    dtr_c, dva_c = make_data(1)
+    res_c = train_sweep_data(cfg, case, lam, dtr_c, dva_c, key=key,
+                             chunk_size=2, checkpoint_dir=ckpt)
+    fresh_c = train_sweep_data(cfg, case, lam, dtr_c, dva_c, key=key,
+                               chunk_size=2)
+    for a, b in zip(jax.tree.leaves(res_c.params),
+                    jax.tree.leaves(fresh_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
