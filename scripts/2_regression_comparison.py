@@ -175,6 +175,12 @@ def main():
             # would break reproducibility)
             key=jax.random.fold_in(key, 10_000 + preset_idx),
             mesh=mesh,
+            # completed chunks persist (manifest-guarded): the healing
+            # retry after a transient device fault resumes, not retrains
+            checkpoint_dir=(
+                None if mesh
+                else os.path.join(path_output, f"chunks_{preset}")
+            ),
         )
         # block_until_ready is a no-op on the tunneled backend; force with
         # a host transfer so the phase boundary is real
