@@ -83,7 +83,7 @@ def clear_compilation_cache() -> str | None:
     return cache_dir
 
 
-def wait_for_device(total_budget_s: float = 3600.0) -> None:
+def wait_for_device(total_budget_s: float = 3600.0) -> bool:
     """Block until the tunneled accelerator is reachable (bounded).
 
     A third environment fault class, beyond the two raised ones above:
@@ -92,18 +92,23 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
     can recover — the hung call cannot be cancelled. So reachability is
     probed in a SUBPROCESS with a hard timeout; only when a probe attaches
     and executes one op does the caller proceed (paying a normal
-    re-attach). No-op unless the axon tunnel environment is present
+    re-attach). No-op (True) unless the axon tunnel environment is present
     (querying the backend in-process would itself risk the hang, so the
-    gate reads the environment, not jax). On budget exhaustion, returns
-    anyway: raised faults are run_with_healing's job; a still-hung attach
-    was unrecoverable regardless.
+    gate reads the environment, not jax).
+
+    Returns True once a probe succeeds; False on budget exhaustion
+    (``DPIVAE_DEVICE_WAIT_S`` overrides the budget). Never raises and
+    never hangs in-process — callers decide what an unreachable device
+    means (``run_with_healing(wait_device=True)`` raises: proceeding
+    would hang forever inside the C++ attach, and an unattended caller
+    is better served by a loud nonzero exit than a silent hang).
     """
     import os
     import subprocess
 
     if not ("axon" in os.environ.get("JAX_PLATFORMS", "")
             or os.environ.get("PALLAS_AXON_POOL_IPS")):
-        return
+        return True
     total_budget_s = float(
         os.environ.get("DPIVAE_DEVICE_WAIT_S", total_budget_s)
     )
@@ -131,7 +136,7 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
                 if attempt > 1:
                     print(f"device reachable after {attempt} probes",
                           file=sys.stderr, flush=True)
-                return
+                return True
             msg = (res.stderr or res.stdout).strip().splitlines()
             msg = msg[-1] if msg else "?"
         except subprocess.TimeoutExpired:
@@ -139,8 +144,9 @@ def wait_for_device(total_budget_s: float = 3600.0) -> None:
         print(f"device unreachable (attempt {attempt}): {msg}; retrying",
               file=sys.stderr, flush=True)
         time.sleep(60)
-    print("device probe budget exhausted; attempting anyway",
+    print("device probe budget exhausted; still unreachable",
           file=sys.stderr, flush=True)
+    return False
 
 
 def run_with_healing(fn, *, transient_delay_s: float = 240.0,
@@ -154,10 +160,23 @@ def run_with_healing(fn, *, transient_delay_s: float = 240.0,
 
     ``wait_device=True`` additionally rides out attach *hangs* by waiting
     for a subprocess reachability probe before the first attempt and
-    before the transient retry (see ``wait_for_device``).
+    before the transient retry (see ``wait_for_device``). If the probe
+    budget exhausts with the device still unreachable, raises
+    RuntimeError instead of proceeding: the next device op would hang
+    forever inside the C++ attach, and unattended callers (bench.py, the
+    study scripts) need a loud nonzero exit, not a silent hang.
     """
+
+    def _require_device():
+        if not wait_for_device():
+            raise RuntimeError(
+                "TPU tunnel unreachable after the device probe budget "
+                "(DPIVAE_DEVICE_WAIT_S, default 3600s) — refusing to "
+                "proceed into an uncancellable attach hang"
+            )
+
     if wait_device:
-        wait_for_device()
+        _require_device()
     healed: set[str] = set()
     while True:
         try:
@@ -181,6 +200,6 @@ def run_with_healing(fn, *, transient_delay_s: float = 240.0,
                 )
                 time.sleep(transient_delay_s)
                 if wait_device:
-                    wait_for_device()
+                    _require_device()
                 continue
             raise

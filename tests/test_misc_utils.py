@@ -137,8 +137,8 @@ def test_wait_for_device_noop_off_tunnel(monkeypatch):
 
 def test_wait_for_device_rides_out_attach_hang(monkeypatch):
     """With the tunnel env present, a hung probe (TimeoutExpired) retries
-    until the budget runs out, then returns — never raises, never hangs
-    in-process."""
+    until the budget runs out, then returns False — never raises, never
+    hangs in-process."""
     import subprocess
 
     from dpivae_tpu.utils import cache_guard as cg
@@ -159,8 +159,21 @@ def test_wait_for_device_rides_out_attach_hang(monkeypatch):
         raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
 
     monkeypatch.setattr(subprocess, "run", hang)
-    cg.wait_for_device(total_budget_s=500.0)
+    assert cg.wait_for_device(total_budget_s=500.0) is False
     assert calls["n"] >= 1
+
+
+def test_run_with_healing_refuses_unreachable_device(monkeypatch):
+    """With wait_device=True and the probe budget exhausted, the runner
+    must raise (loud nonzero exit for unattended callers) instead of
+    proceeding into an uncancellable C++ attach hang."""
+    import pytest
+
+    from dpivae_tpu.utils import cache_guard as cg
+
+    monkeypatch.setattr(cg, "wait_for_device", lambda *a, **k: False)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        cg.run_with_healing(lambda: "never runs", wait_device=True)
 
 
 def test_model_cache_detects_recycled_id():
