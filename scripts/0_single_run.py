@@ -43,6 +43,13 @@ def main():
              "'dp' mesh axis (params replicated, XLA inserts the gradient "
              "all-reduce); 1 = single-device program",
     )
+    parser.add_argument(
+        "--export_serving", action="store_true",
+        help="also write models/predictor.shlo: a self-contained "
+             "jax.export (StableHLO) serving artifact — weights baked in, "
+             "shape-polymorphic batch, cpu+tpu — loadable with "
+             "dpivae_tpu.serving.load_predictor and no model code",
+    )
     args = parser.parse_args()
 
     from dpivae_tpu.cases import get_case
@@ -121,6 +128,14 @@ def main():
     save_model(
         os.path.join(paths["models"], "model"), model, params, cfg, case=case
     )
+    if args.export_serving:
+        from dpivae_tpu.serving import save_predictor
+
+        shlo = save_predictor(
+            os.path.join(paths["models"], "predictor.shlo"),
+            model, params, cfg, case, cond=args.cond,
+        )
+        print(f"Serving artifact: {shlo} (+ .meta.json)")
 
     # Evaluation (ref: 0_single_run.py:115-131)
     dict_metrics, dict_pred = run_comparison(cfg, case, data_train, data_test)

@@ -30,7 +30,7 @@ def test_single_run_cli(tmp_path):
          "--case", "simple_beam", "--preset", "dpivae",
          "--n_iter", "40", "--n_train", "64", "--n_val", "32",
          "--n_test", "32", "--name", "t0", "--no-plots",
-         "--output", str(tmp_path)],
+         "--export_serving", "--output", str(tmp_path)],
         cwd=str(tmp_path),
     )
     assert res.returncode == 0, res.stderr[-2000:]
@@ -43,6 +43,11 @@ def test_single_run_cli(tmp_path):
     assert model_ckpt.is_dir()
     assert (tmp_path / "t0" / "models" / "model.config.json").exists()
     assert (tmp_path / "t0" / "models" / "model.meta.json").exists()
+    # Serving artifact (StableHLO + meta sidecar), loadable without model code
+    shlo = tmp_path / "t0" / "models" / "predictor.shlo"
+    assert shlo.exists() and shlo.stat().st_size > 0
+    with open(str(shlo) + ".meta.json") as f:
+        assert json.load(f)["outputs"] == ["y"]
     with open(tmp_path / "t0" / "settings" / "args.json") as f:
         snap = json.load(f)
     assert snap["model_type"] == "S" and snap["n_iter"] == 40

@@ -1,0 +1,98 @@
+"""Serving-artifact tests: jax.export round-trip, ABI, and output parity."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from dpivae_tpu.cases import get_case
+from dpivae_tpu.config import TrainConfig
+from dpivae_tpu.serving import (
+    SAMPLE_SLOTS,
+    build_predict_fn,
+    load_predictor,
+    save_predictor,
+)
+from dpivae_tpu.train import setup_model
+from dpivae_tpu.utils.data import sample_response
+
+
+def _model(case_name="simple_beam", preset="dpivae"):
+    case = get_case(case_name)
+    cfg = TrainConfig().with_preset(case.presets[preset]).replace(
+        n_train=64, n_val=16, n_test=16, n_batch=16, n_iter=5,
+        n_mc_train=2, n_mc_val=2, n_mc_test=4, use_seed=True, name="srv",
+    )
+    data_train = sample_response(
+        case, jax.random.PRNGKey(0), cfg.n_train, sample_dist=case.gt_dist()
+    )
+    model = setup_model(cfg, case, data_train)
+    params = model.init(jax.random.PRNGKey(1))
+    return case, cfg, model, params, data_train
+
+
+def test_roundtrip_matches_live_model(tmp_path):
+    case, cfg, model, params, data_train = _model()
+    path = save_predictor(
+        str(tmp_path / "beam.shlo"), model, params, cfg, case,
+        outputs=("y", "zx"), platforms=("cpu",),
+    )
+    served = load_predictor(path)
+    assert served.outputs == ("y", "zx")
+
+    x, c = np.asarray(data_train[0][:8]), np.asarray(data_train[1][:8])
+    got = served(x, c, seed=7)
+
+    predict = build_predict_fn(model, params, cfg, outputs=("y", "zx"))
+    key_data = np.asarray(
+        jax.random.key_data(jax.random.PRNGKey(7)), np.uint32
+    )
+    want_y, want_zx = predict(key_data, x, c)
+    np.testing.assert_allclose(got["y"], np.asarray(want_y), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(got["zx"], np.asarray(want_zx), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_batch_is_polymorphic(tmp_path):
+    case, cfg, model, params, data_train = _model()
+    path = save_predictor(
+        str(tmp_path / "beam.shlo"), model, params, cfg, case,
+        platforms=("cpu",),
+    )
+    served = load_predictor(path)
+    for b in (1, 3, 17):
+        x = np.zeros((b, case.nd_x), np.float32)
+        c = np.zeros((b, case.nd_c), np.float32)
+        out = served(x, c)
+        assert out["y"].shape == (b, case.nd_y)
+        assert np.isfinite(out["y"]).all()
+
+
+def test_meta_sidecar_contract(tmp_path):
+    case, cfg, model, params, _ = _model()
+    path = save_predictor(
+        str(tmp_path / "beam.shlo"), model, params, cfg, case,
+        platforms=("cpu",), n=2,
+    )
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    assert meta["case"] == "simple_beam"
+    assert meta["case_fingerprint"] == case.fingerprint()
+    assert meta["n_mc"] == 2
+    assert meta["nd_x"] == case.nd_x
+    assert [i["name"] for i in meta["inputs"]] == ["key_data", "x", "c"]
+    # config snapshot restores
+    assert meta["config"]["name"] == "srv"
+
+
+def test_unknown_output_rejected(tmp_path):
+    case, cfg, model, params, _ = _model()
+    with pytest.raises(ValueError, match="unknown outputs"):
+        build_predict_fn(model, params, cfg, outputs=("nope",))
+
+
+def test_slot_names_cover_sample_tuple():
+    # model.sample returns a 9-tuple; dens_z (8) is intentionally unnamed.
+    assert sorted(SAMPLE_SLOTS.values()) == list(range(8))
