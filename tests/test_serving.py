@@ -87,6 +87,28 @@ def test_meta_sidecar_contract(tmp_path):
     assert meta["config"]["name"] == "srv"
 
 
+def test_bridge_cond_export_roundtrip(tmp_path):
+    """The hardest export path: bridge's frozen MLP physics surrogate baked
+    into the artifact as constants, the idx_c_phys covariate concat, and the
+    cond=True prior-net sampling branch."""
+    case, cfg, model, params, data_train = _model("bridge", "dpivae")
+    path = save_predictor(
+        str(tmp_path / "bridge.shlo"), model, params, cfg, case,
+        cond=True, platforms=("cpu",),
+    )
+    served = load_predictor(path)
+
+    x, c = np.asarray(data_train[0][:6]), np.asarray(data_train[1][:6])
+    got = served(x, c, seed=11)
+    predict = build_predict_fn(model, params, cfg, cond=True)
+    key_data = np.asarray(
+        jax.random.key_data(jax.random.PRNGKey(11)), np.uint32
+    )
+    (want_y,) = predict(key_data, x, c)
+    np.testing.assert_allclose(got["y"], np.asarray(want_y), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_unknown_output_rejected(tmp_path):
     case, cfg, model, params, _ = _model()
     with pytest.raises(ValueError, match="unknown outputs"):
