@@ -17,6 +17,7 @@ from dpivae_tpu.sweep.sweep import (  # noqa: F401
     train_hyper_sweep,
     member_datasets,
     export_member,
+    export_member_predictor,
     sweep_disentanglement_latents,
     sweep_predict_y,
     sweep_sample,

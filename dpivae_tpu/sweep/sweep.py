@@ -318,6 +318,34 @@ def export_member(
     return model, params
 
 
+def export_member_predictor(
+    config: TrainConfig, case: Case, result: SweepResult, i: int, path: str,
+    **export_kwargs,
+):
+    """Export sweep member ``i`` as a portable SERVING artifact
+    (``dpivae_tpu.serving.save_predictor``): the member's predict path as
+    a self-contained StableHLO program — weights and fitted scalers baked
+    in, shape-polymorphic batch, loadable with no sweep/model/case code.
+    The member's λ replaces ``lambda_g0`` in the embedded config snapshot
+    (GRL is identity in the forward pass, so predictions don't depend on
+    it — this is provenance). Extra kwargs pass through to
+    ``save_predictor`` (``outputs=``, ``cond=``, ``n=``, ``platforms=``).
+
+    Returns the artifact path.
+    """
+    from dpivae_tpu.serving import save_predictor
+    from dpivae_tpu.train.setup import setup_model
+
+    member_key = result.keys[i]
+    if not jnp.issubdtype(jnp.asarray(member_key).dtype, jax.dtypes.prng_key):
+        member_key = jax.random.wrap_key_data(jnp.asarray(member_key))
+    data_train, _ = member_datasets(config, case, member_key)
+    model = setup_model(config, case, jax.tree.map(np.asarray, data_train))
+    params = jax.tree.map(np.asarray, result.member_params(i))
+    cfg_i = config.replace(lambda_g0=float(np.asarray(result.lambdas[i])))
+    return save_predictor(path, model, params, cfg_i, case, **export_kwargs)
+
+
 def build_member_fn(
     config: TrainConfig,
     case: Case,

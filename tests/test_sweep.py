@@ -489,6 +489,27 @@ def test_export_member_servable(tmp_path):
     np.testing.assert_allclose(meta["lambda"], -1.0, rtol=1e-6)
     assert meta["case"] == "simple_beam"
 
+    # Serving-artifact variant: the same member exports as a StableHLO
+    # predictor whose outputs match the restored model's MC-mean exactly
+    from dpivae_tpu.serving import build_predict_fn, load_predictor
+    from dpivae_tpu.sweep import export_member_predictor
+
+    shlo = export_member_predictor(
+        cfg, case, res, 1, str(tmp_path / "m1.shlo"),
+        platforms=("cpu",), n=3,
+    )
+    served = load_predictor(shlo)
+    assert served.meta["lambda_g0"] == -1.0  # member λ, not cfg.lambda_g0
+    x, c = np.asarray(dte[0]), np.asarray(dte[1])
+    got = served(x, c, seed=5)
+    predict = build_predict_fn(model, params, cfg, n=3)
+    key_data = np.asarray(
+        jax.random.key_data(jax.random.PRNGKey(5)), np.uint32
+    )
+    (want_y,) = predict(key_data, x, c)
+    np.testing.assert_allclose(got["y"], np.asarray(want_y), rtol=1e-5,
+                               atol=1e-6)
+
 
 def test_sweep_checkpoint_foreign_grid_not_resumed(tmp_path):
     """Chunk files whose member count happens to match but that were
