@@ -118,3 +118,74 @@ def test_unknown_output_rejected(tmp_path):
 def test_slot_names_cover_sample_tuple():
     # model.sample returns a 9-tuple; dens_z (8) is intentionally unnamed.
     assert sorted(SAMPLE_SLOTS.values()) == list(range(8))
+
+
+@pytest.mark.slow
+def test_http_serving_host(tmp_path):
+    """examples/serve_http.py serves an exported artifact over HTTP."""
+    import os
+    import subprocess
+    import sys
+    import time
+    import urllib.error
+    import urllib.request
+
+    case, cfg, model, params, data_train = _model()
+    path = save_predictor(
+        str(tmp_path / "srv.shlo"), model, params, cfg, case,
+        platforms=("cpu",), n=2,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "examples", "serve_http.py"),
+         "--artifact", path, "--port", "0"],
+        env=env, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stdout.readline()  # "serving ... on http://host:port"
+        url = line.strip().rsplit(" ", 1)[-1]
+        assert url.startswith("http://")
+
+        def call(route, payload=None, retries=20):
+            for i in range(retries):
+                try:
+                    if payload is None:
+                        req = urllib.request.Request(url + route)
+                    else:
+                        req = urllib.request.Request(
+                            url + route, data=json.dumps(payload).encode(),
+                            headers={"Content-Type": "application/json"},
+                        )
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        return r.status, json.loads(r.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, json.loads(e.read())
+                except (urllib.error.URLError, ConnectionError):
+                    if i == retries - 1:
+                        raise
+                    time.sleep(0.5)
+
+        status, meta = call("/meta")
+        assert status == 200 and meta["nd_x"] == case.nd_x
+
+        x = np.zeros((3, case.nd_x), np.float32).tolist()
+        c = np.zeros((3, case.nd_c), np.float32).tolist()
+        status, out = call("/predict", {"x": x, "c": c, "seed": 1})
+        assert status == 200
+        assert np.asarray(out["y"]).shape == (3, case.nd_y)
+
+        # malformed request -> 400 with an error message, server stays up
+        status, err = call("/predict", {"x": x})
+        assert status == 400 and "c" in err["error"]
+        status, err = call("/predict", {"x": [[1.0]], "c": c})
+        assert status == 400
+        assert "batch" in err["error"] or "columns" in err["error"]
+
+        status, out = call("/predict", {"x": x, "c": c})
+        assert status == 200
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
