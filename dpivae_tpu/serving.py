@@ -99,7 +99,13 @@ def export_predictor(model, params, config, case=None, *,
         model, params, config, cond=cond, n=n, outputs=tuple(outputs)
     )
     (b,) = jex.symbolic_shape("b")
-    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    # The key-data ABI follows the exporting process's default PRNG impl
+    # (threefry: uint32[2]; rbg under DPIVAE_PRNG=rbg: uint32[4]); the
+    # impl name is recorded in the meta so serving hosts with a different
+    # default still construct matching keys.
+    prng_impl = str(jax.config.jax_default_prng_impl)
+    kd = jax.eval_shape(lambda: jax.random.key_data(jax.random.PRNGKey(0)))
+    key_spec = jax.ShapeDtypeStruct(kd.shape, kd.dtype)
     x_spec = jax.ShapeDtypeStruct((b, model.nd_x), jnp.float32)
     c_spec = jax.ShapeDtypeStruct((b, model.nd_c), jnp.float32)
     exported = jex.export(jax.jit(predict), platforms=tuple(platforms))(
@@ -114,8 +120,10 @@ def export_predictor(model, params, config, case=None, *,
         "nd_x": int(model.nd_x),
         "nd_c": int(model.nd_c),
         "platforms": list(platforms),
+        "prng_impl": prng_impl,
         "inputs": [
-            {"name": "key_data", "shape": [2], "dtype": "uint32"},
+            {"name": "key_data", "shape": list(kd.shape),
+             "dtype": str(kd.dtype)},
             {"name": "x", "shape": ["b", int(model.nd_x)], "dtype": "float32"},
             {"name": "c", "shape": ["b", int(model.nd_c)], "dtype": "float32"},
         ],
@@ -172,8 +180,21 @@ class ServedPredictor:
     def __call__(self, x, c, *, seed: int = 0, key=None):
         """Predict on host arrays; returns a dict of named numpy outputs."""
         if key is None:
-            key = jax.random.PRNGKey(seed)
+            # Construct the key with the ARTIFACT's PRNG impl, not the
+            # process default — a host running under DPIVAE_PRNG=rbg can
+            # still serve a threefry-exported artifact (and vice versa).
+            impl = self.meta.get("prng_impl")
+            key = jax.random.key(seed, impl=impl) if impl else (
+                jax.random.PRNGKey(seed)
+            )
         key_data = np.asarray(jax.random.key_data(key), np.uint32)
+        want = tuple(self.meta["inputs"][0]["shape"])
+        if key_data.shape != want:
+            raise ValueError(
+                f"key data shape {key_data.shape} does not match the "
+                f"artifact's PRNG impl {self.meta.get('prng_impl')!r} "
+                f"(expects {want}); pass a key of that impl or use seed="
+            )
         x = np.asarray(x, np.float32)
         c = np.asarray(c, np.float32)
         out = self._jitted(key_data, x, c)

@@ -115,6 +115,33 @@ def test_unknown_output_rejected(tmp_path):
         build_predict_fn(model, params, cfg, outputs=("nope",))
 
 
+def test_prng_impl_cross_process_serving(tmp_path):
+    """The artifact records its PRNG impl; a serving host whose process
+    default differs (DPIVAE_PRNG=rbg) still constructs matching keys via
+    seed=, and a wrong-impl explicit key fails loudly."""
+    case, cfg, model, params, _ = _model()
+    path = save_predictor(
+        str(tmp_path / "beam.shlo"), model, params, cfg, case,
+        platforms=("cpu",), n=2,
+    )
+    served = load_predictor(path)
+    assert served.meta["prng_impl"] == "threefry2x32"
+    x = np.zeros((2, case.nd_x), np.float32)
+    c = np.zeros((2, case.nd_c), np.float32)
+
+    rbg_key = jax.random.key(0, impl="rbg")
+    with pytest.raises(ValueError, match="PRNG impl"):
+        served(x, c, key=rbg_key)
+
+    want = served(x, c, seed=3)["y"]
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        got = served(x, c, seed=3)["y"]  # seed= follows the artifact impl
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    np.testing.assert_allclose(got, want)
+
+
 def test_slot_names_cover_sample_tuple():
     # model.sample returns a 9-tuple; dens_z (8) is intentionally unnamed.
     assert sorted(SAMPLE_SLOTS.values()) == list(range(8))
