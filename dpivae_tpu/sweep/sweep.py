@@ -181,15 +181,22 @@ def train_hyper_sweep(
                 "program with no chunks"
             )
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+        sharding = NamedSharding(mesh, P(member_axis))
+        # Cache the JITTED wrapper (not just the vmap): a per-call
+        # jax.jit(...) would rebuild the dispatch wrapper every invocation
+        # and lose the C++ fastpath for repeat sweeps.
         batched = _SWEEP_JIT_CACHE.get(
             ("train_hyper_sweep_mesh", config, case.fingerprint(), fields, mesh,
              member_axis),
-            lambda: jax.vmap(
-                build_member_fn(
-                    config, case, hyper_fields=fields,
-                    mesh=mesh if use_dp else None,
+            lambda: jax.jit(
+                jax.vmap(
+                    build_member_fn(
+                        config, case, hyper_fields=fields,
+                        mesh=mesh if use_dp else None,
+                    ),
+                    spmd_axis_name=member_axis,
                 ),
-                spmd_axis_name=member_axis,
+                in_shardings=sharding,
             ),
         )
         axis_size = mesh.shape[member_axis]
@@ -197,9 +204,7 @@ def train_hyper_sweep(
         pad_j = lambda a: (
             jnp.concatenate([a, a[-1:].repeat(n_pad, 0)]) if n_pad else a
         )
-        sharding = NamedSharding(mesh, P(member_axis))
         put = lambda a: jax.device_put(pad_j(jnp.asarray(a)), sharding)
-        batched = jax.jit(batched, in_shardings=sharding)
         params, logs = batched(
             put(keys), put(lam_m), tuple(put(c) for c in hyper_m)
         )
@@ -260,7 +265,8 @@ def train_hyper_sweep(
         chunk_callback=chunk_callback,
         manifest=(
             _sweep_manifest(
-                config, case, (keys_p, lam_p, *hyper_p), n_members
+                config, case, (keys_p, lam_p, *hyper_p), n_members,
+                flavor=("hyper-sweep", fields),
             )
             if checkpoint_dir is not None else None
         ),
@@ -591,7 +597,8 @@ def _load_chunk(path: str, params_treedef, expect_members: int):
 
 
 def _sweep_manifest(
-    config: TrainConfig, case: Case, arrays, n_members: int
+    config: TrainConfig, case: Case, arrays, n_members: int,
+    flavor="",
 ) -> dict:
     """Identity of a checkpointed sweep: everything that determines its
     member results. Chunk files are keyed only by start index, so a rerun
@@ -600,8 +607,12 @@ def _sweep_manifest(
 
     ``arrays`` are the member-identity columns (keys, λs, hyper columns,
     per-member datasets — whatever the sweep flavor trains on), digested
-    over their unpadded [:n_members] slices."""
+    over their unpadded [:n_members] slices. ``flavor`` carries any
+    member identity that is NOT an array — the sweep kind and, for hyper
+    sweeps, the swept FIELD NAMES (two grids over different fields can
+    hold byte-identical value columns yet train different members)."""
     h = hashlib.sha256()
+    h.update(repr(flavor).encode())
     h.update(config.to_json().encode())
     h.update(case.fingerprint().encode())
     for a in arrays:
@@ -613,7 +624,11 @@ def _sweep_manifest(
 
 def _check_sweep_manifest(checkpoint_dir: str, manifest: dict) -> bool:
     """Write/refresh the manifest; return False when existing chunk files
-    belong to a DIFFERENT sweep (they are then skipped, not loaded)."""
+    belong to a DIFFERENT sweep. Foreign chunk files are DELETED before the
+    new manifest lands: the manifest must never vouch for chunks it did not
+    produce (a recompute interrupted mid-sweep would otherwise leave the
+    old sweep's later chunks behind a now-matching digest, and the healing
+    rerun would silently resume them)."""
     path = os.path.join(checkpoint_dir, "manifest.json")
     resume_ok = True
     if os.path.exists(path):
@@ -624,10 +639,16 @@ def _check_sweep_manifest(checkpoint_dir: str, manifest: dict) -> bool:
             old = {}
         if old.get("digest") != manifest["digest"]:
             resume_ok = False
+            stale = sorted(
+                f for f in os.listdir(checkpoint_dir)
+                if f.startswith("chunk_") and f.endswith(".npz")
+            )
+            for f in stale:
+                os.remove(os.path.join(checkpoint_dir, f))
             _progress(
                 "[sweep] checkpoint dir was written by a different sweep "
-                "(config/case/grid/keys changed) — ignoring its chunks and "
-                "recomputing"
+                "(config/case/grid/keys changed) — deleted its "
+                f"{len(stale)} chunk file(s) and recomputing"
             )
     with open(path, "w") as f:
         json.dump(manifest, f)
@@ -885,11 +906,18 @@ def train_sweep(
         # member axis is named via spmd_axis_name so the two shardings
         # compose instead of conflicting.
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+        sharding = NamedSharding(mesh, P(member_axis))
+        # Cache the JITTED wrapper (not just the vmap): a per-call
+        # jax.jit(...) would rebuild the dispatch wrapper every invocation
+        # and lose the C++ fastpath for repeat sweeps.
         batched = _SWEEP_JIT_CACHE.get(
             ("train_sweep_mesh", config, case.fingerprint(), mesh, member_axis),
-            lambda: jax.vmap(
-                build_member_fn(config, case, mesh=mesh if use_dp else None),
-                spmd_axis_name=member_axis,
+            lambda: jax.jit(
+                jax.vmap(
+                    build_member_fn(config, case, mesh=mesh if use_dp else None),
+                    spmd_axis_name=member_axis,
+                ),
+                in_shardings=(sharding, sharding),
             ),
         )
         axis_size = mesh.shape[member_axis]
@@ -899,10 +927,8 @@ def train_sweep(
             keys_p = jnp.concatenate([keys, keys[-1:].repeat(n_pad, 0)])
         else:
             lambdas_p, keys_p = lambdas, keys
-        sharding = NamedSharding(mesh, P(member_axis))
         keys_p = jax.device_put(keys_p, sharding)
         lambdas_p = jax.device_put(lambdas_p, sharding)
-        batched = jax.jit(batched, in_shardings=(sharding, sharding))
         params, logs = batched(keys_p, lambdas_p)
         if n_pad:
             trim = lambda a: a[:n_members]
@@ -955,7 +981,10 @@ def train_sweep(
         checkpoint_dir=checkpoint_dir,
         chunk_callback=chunk_callback,
         manifest=(
-            _sweep_manifest(config, case, (keys_h, lambdas_h), n_members)
+            _sweep_manifest(
+                config, case, (keys_h, lambdas_h), n_members,
+                flavor="lambda-sweep",
+            )
             if checkpoint_dir is not None else None
         ),
         label="sweep",
@@ -1347,7 +1376,7 @@ def train_sweep_data(
             _sweep_manifest(
                 config, case,
                 (keys_p, lambdas_p, *jax.tree.leaves((dtr_p, dva_p))),
-                n_members,
+                n_members, flavor="data-sweep",
             )
             if checkpoint_dir is not None else None
         ),

@@ -61,9 +61,13 @@ def main():
     )
     parser.add_argument("--probe_epochs", type=int, default=300,
                         help="training epochs for the batched mlp_jax probe")
-    parser.add_argument("--probe_workers", type=int, default=8,
+    parser.add_argument("--probe_workers", type=int,
+                        default=min(8, os.cpu_count() or 1),
                         help="process-pool workers for the sklearn probe "
-                             "paths (linear/mlp); 1 = serial")
+                             "paths (linear/mlp); 1 = serial (the default "
+                             "never exceeds the host's core count — spawn "
+                             "workers on a 1-core box only add interpreter "
+                             "startup to the same serialized work)")
     parser.add_argument("--n_train_regressor", type=int, default=2048)
     parser.add_argument("--n_test_regressor", type=int, default=2048)
     parser.add_argument("--cond", action="store_true")

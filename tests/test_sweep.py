@@ -543,6 +543,69 @@ def test_sweep_checkpoint_foreign_grid_not_resumed(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sweep_interrupted_recompute_purges_foreign_chunks(tmp_path):
+    """An interrupted recompute must not resurrect the PREVIOUS sweep's
+    later chunks: on manifest mismatch the foreign chunk files are deleted
+    BEFORE the new manifest lands, so a healing rerun that then finds a
+    matching manifest can only ever resume chunks this sweep wrote."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    key = jax.random.PRNGKey(13)
+    ckpt = str(tmp_path / "chunks")
+    train_sweep(cfg, case, lambdas=[0.5, -0.5], n_runs=1, key=key,
+                chunk_size=1, checkpoint_dir=ckpt)  # sweep A completes
+
+    calls = []
+
+    def boom(start, params_chunk, logs_chunk):
+        calls.append(start)
+        raise RuntimeError("interrupt after the first chunk")
+
+    grid_b = [0.05, -0.9]  # same member count as A, different sweep
+    with pytest.raises(RuntimeError):
+        train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                    chunk_size=1, checkpoint_dir=ckpt, chunk_callback=boom)
+    assert calls == [0]  # B checkpointed chunk 0, then died
+    # Healing rerun: the manifest now matches B, chunk 0 resumes, and
+    # chunk 1 must be RECOMPUTED as B (A's file was purged up front —
+    # without the purge this silently loads A's member here).
+    res_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)
+    fresh_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
+                          chunk_size=1)
+    for a, b in zip(jax.tree.leaves(res_b.params),
+                    jax.tree.leaves(fresh_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hyper_sweep_field_names_guard_resume(tmp_path):
+    """Two grids over DIFFERENT hyperparameter fields can hold
+    byte-identical value columns yet train different members; the manifest
+    digests the field names, so the second sweep recomputes instead of
+    resuming the first's chunks."""
+    from dpivae_tpu.sweep import train_hyper_sweep
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    vals = [3e-3, 3e-4]
+    ckpt = str(tmp_path / "chunks")
+    res_a = train_hyper_sweep(cfg, case, {"lr_e": vals}, n_runs=1,
+                              chunk_size=1, checkpoint_dir=ckpt)
+    res_b = train_hyper_sweep(cfg, case, {"lr_dx": vals}, n_runs=1,
+                              chunk_size=1, checkpoint_dir=ckpt)
+    fresh_b = train_hyper_sweep(cfg, case, {"lr_dx": vals}, n_runs=1,
+                                chunk_size=1)
+    for a, b in zip(jax.tree.leaves(res_b.params),
+                    jax.tree.leaves(fresh_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # sanity: the two grids really do train different members
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(res_a.params),
+                        jax.tree.leaves(res_b.params))
+    )
+
+
 def test_hyper_sweep_checkpoint_resume_and_callback(tmp_path):
     """train_hyper_sweep shares the chunked engine: chunk checkpoints
     resume identically and chunk_callback streams host chunks."""
