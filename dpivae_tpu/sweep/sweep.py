@@ -358,6 +358,7 @@ def build_member_fn(
     hyper_fields: tuple = (),
     mesh: Optional[Mesh] = None,
     dp_axis: str = "dp",
+    unroll: bool | str | tuple = False,
 ):
     """One sweep member as a pure function ``(key, lambda[, hyper]) ->
     (params, logs)``: sample data, init, train. vmap-ready. With
@@ -367,10 +368,10 @@ def build_member_fn(
     constraints (combine with ``vmap(..., spmd_axis_name=member_axis)``
     for a 2-D members × data-parallel program)."""
     template = make_template_model(config, case)
-    # unroll=False: vmapped members are arithmetic-bound (not
+    # unroll=False default: vmapped members are arithmetic-bound (not
     # scan-overhead-bound) and unrolling only multiplies compile time.
     train_fn = build_train_fn(
-        config, case, mesh=mesh, dp_axis=dp_axis, unroll=False,
+        config, case, mesh=mesh, dp_axis=dp_axis, unroll=unroll,
         hyper_fields=hyper_fields,
     )
     gt_dist = case.gt_dist()
