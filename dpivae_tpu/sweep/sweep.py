@@ -602,9 +602,10 @@ def _sweep_manifest(
     flavor="",
 ) -> dict:
     """Identity of a checkpointed sweep: everything that determines its
-    member results. Chunk files are keyed only by start index, so a rerun
+    member results. The digest prefixes every chunk FILENAME, so a rerun
     into the same dir with a different grid/config whose member count
-    happens to match would otherwise resume foreign chunks silently.
+    happens to match can never resume foreign chunks — they simply have
+    different names.
 
     ``arrays`` are the member-identity columns (keys, λs, hyper columns,
     per-member datasets — whatever the sweep flavor trains on), digested
@@ -623,37 +624,34 @@ def _sweep_manifest(
     return {"digest": h.hexdigest(), "n_members": int(n_members)}
 
 
-def _check_sweep_manifest(checkpoint_dir: str, manifest: dict) -> bool:
-    """Write/refresh the manifest; return False when existing chunk files
-    belong to a DIFFERENT sweep. Foreign chunk files are DELETED before the
-    new manifest lands: the manifest must never vouch for chunks it did not
-    produce (a recompute interrupted mid-sweep would otherwise leave the
-    old sweep's later chunks behind a now-matching digest, and the healing
-    rerun would silently resume them)."""
+def _write_sweep_manifest(checkpoint_dir: str, manifest: dict) -> str:
+    """Record the latest sweep's manifest and return the digest prefix that
+    keys this sweep's chunk FILENAMES (``chunk_<digest12>_<start>.npz``).
+
+    Because the identity digest is in every chunk's name, a sweep can only
+    ever resume chunks it (or an identical sweep) wrote — no matter what
+    else shares the directory, whether manifest.json survived, or where a
+    previous recompute was interrupted. Chunks of other sweeps are left
+    untouched (alternating two sweeps over one dir keeps BOTH resumable);
+    a one-line note flags them the first time so a user who expected a
+    resume understands the recompute. manifest.json itself is
+    informational (latest sweep wins)."""
+    digest12 = manifest["digest"][:12]
+    foreign = [
+        f for f in os.listdir(checkpoint_dir)
+        if f.startswith("chunk_") and f.endswith(".npz")
+        and not f.startswith(f"chunk_{digest12}_")
+    ]
+    if foreign:
+        _progress(
+            f"[sweep] checkpoint dir holds {len(foreign)} chunk file(s) "
+            "from other sweep identities (different config/case/grid/keys "
+            "or a pre-digest-naming version) — ignored, not resumed"
+        )
     path = os.path.join(checkpoint_dir, "manifest.json")
-    resume_ok = True
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                old = json.load(f)
-        except (OSError, ValueError):
-            old = {}
-        if old.get("digest") != manifest["digest"]:
-            resume_ok = False
-            stale = sorted(
-                f for f in os.listdir(checkpoint_dir)
-                if f.startswith("chunk_") and f.endswith(".npz")
-            )
-            for f in stale:
-                os.remove(os.path.join(checkpoint_dir, f))
-            _progress(
-                "[sweep] checkpoint dir was written by a different sweep "
-                "(config/case/grid/keys changed) — deleted its "
-                f"{len(stale)} chunk file(s) and recomputing"
-            )
     with open(path, "w") as f:
         json.dump(manifest, f)
-    return resume_ok
+    return digest12
 
 
 def _treedef_thunk(config: TrainConfig, case: Case):
@@ -700,10 +698,11 @@ def _chunked_execute(
     - ``slice_args(sl)`` materializes one padded chunk's argument tuple;
       slicing must be host-side (eager device slices serialize the chunk
       pipeline on the tunneled backend).
-    - With ``checkpoint_dir``: every completed chunk persists as npz, a
-      rerun resumes from completed chunks, and ``manifest`` (see
-      ``_sweep_manifest``) guards against resuming chunks written by a
-      different sweep.
+    - With ``checkpoint_dir``: every completed chunk persists as npz named
+      by the ``manifest`` identity digest + start index, and a rerun
+      resumes from completed chunks; foreign chunks (a different sweep
+      sharing the dir) can never be resumed because their names embed a
+      different digest (see ``_write_sweep_manifest``).
     - With ``chunk_callback(start, params_chunk, logs_chunk)``: completed
       chunks stream to the caller as HOST numpy (padding trimmed) while
       later chunks still compute — per-member host IO overlaps device
@@ -730,10 +729,10 @@ def _chunked_execute(
             TrainLogs(*jax.tree.map(lambda a: a[:n_keep], tuple(out_host[1]))),
         )
 
-    resume_ok = True
+    digest12 = None
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        resume_ok = _check_sweep_manifest(checkpoint_dir, manifest)
+        digest12 = _write_sweep_manifest(checkpoint_dir, manifest)
 
     chunks = []
     n_chunks = (n_members + n_pad) // chunk_size
@@ -752,9 +751,9 @@ def _chunked_execute(
             sl = slice(start, start + chunk_size)
             ckpt_path = (
                 None if checkpoint_dir is None
-                else f"{checkpoint_dir}/chunk_{start:06d}.npz"
+                else f"{checkpoint_dir}/chunk_{digest12}_{start:06d}.npz"
             )
-            if resume_ok and ckpt_path is not None and os.path.exists(ckpt_path):
+            if ckpt_path is not None and os.path.exists(ckpt_path):
                 loaded = _load_chunk(ckpt_path, treedef_thunk(), chunk_size)
                 if loaded is not None:
                     chunks.append(loaded)

@@ -65,8 +65,8 @@ def main():
                         default=min(8, os.cpu_count() or 1),
                         help="process-pool workers for the sklearn probe "
                              "paths (linear/mlp); 1 = serial (the default "
-                             "never exceeds the host's core count — spawn "
-                             "workers on a 1-core box only add interpreter "
+                             "never exceeds the host's core count — spawning "
+                             "workers on a 1-core box only adds interpreter "
                              "startup to the same serialized work)")
     parser.add_argument("--n_train_regressor", type=int, default=2048)
     parser.add_argument("--n_test_regressor", type=int, default=2048)

@@ -161,7 +161,13 @@ def test_sweep_checkpoint_resume(tmp_path):
     import os
 
     files = sorted(os.listdir(ckpt))
-    assert files == ["chunk_000000.npz", "chunk_000002.npz", "manifest.json"]
+    import re
+
+    chunk_files = [f for f in files if f.startswith("chunk_")]
+    # chunk names embed the sweep identity digest + start index
+    assert [re.sub(r"chunk_[0-9a-f]{12}_", "chunk_", f) for f in chunk_files] \
+        == ["chunk_000000.npz", "chunk_000002.npz"]
+    assert "manifest.json" in files
     # corrupt-resistant resume: second run must load, not retrain
     res_b = train_sweep(cfg, case, lambdas=[1 / 256, 0.0, -1.0], n_runs=1,
                         key=key, chunk_size=2, checkpoint_dir=ckpt)
@@ -543,17 +549,18 @@ def test_sweep_checkpoint_foreign_grid_not_resumed(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_sweep_interrupted_recompute_purges_foreign_chunks(tmp_path):
+def test_sweep_interrupted_recompute_cannot_resume_foreign_chunks(tmp_path):
     """An interrupted recompute must not resurrect the PREVIOUS sweep's
-    later chunks: on manifest mismatch the foreign chunk files are deleted
-    BEFORE the new manifest lands, so a healing rerun that then finds a
-    matching manifest can only ever resume chunks this sweep wrote."""
+    later chunks: chunk filenames embed the sweep identity digest, so a
+    healing rerun of sweep B can only ever resume chunks B wrote — while
+    sweep A's completed chunks stay on disk and A remains resumable."""
     case = get_case("simple_beam")
     cfg = _cfg(case, n_iter=10)
     key = jax.random.PRNGKey(13)
     ckpt = str(tmp_path / "chunks")
-    train_sweep(cfg, case, lambdas=[0.5, -0.5], n_runs=1, key=key,
-                chunk_size=1, checkpoint_dir=ckpt)  # sweep A completes
+    grid_a = [0.5, -0.5]
+    res_a = train_sweep(cfg, case, lambdas=grid_a, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)  # A completes
 
     calls = []
 
@@ -566,9 +573,9 @@ def test_sweep_interrupted_recompute_purges_foreign_chunks(tmp_path):
         train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
                     chunk_size=1, checkpoint_dir=ckpt, chunk_callback=boom)
     assert calls == [0]  # B checkpointed chunk 0, then died
-    # Healing rerun: the manifest now matches B, chunk 0 resumes, and
-    # chunk 1 must be RECOMPUTED as B (A's file was purged up front —
-    # without the purge this silently loads A's member here).
+    # Healing rerun: B's chunk 0 resumes, and chunk 1 must be RECOMPUTED
+    # as B — A's chunk-1 file carries A's digest in its name, so keying
+    # chunks by start index alone would silently load A's member here.
     res_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
                         chunk_size=1, checkpoint_dir=ckpt)
     fresh_b = train_sweep(cfg, case, lambdas=grid_b, n_runs=1, key=key,
@@ -576,6 +583,13 @@ def test_sweep_interrupted_recompute_purges_foreign_chunks(tmp_path):
     for a, b in zip(jax.tree.leaves(res_b.params),
                     jax.tree.leaves(fresh_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # ... and A's checkpoints survived B entirely: a rerun of A resumes
+    # every chunk byte-identically even with B's files interleaved.
+    res_a2 = train_sweep(cfg, case, lambdas=grid_a, n_runs=1, key=key,
+                         chunk_size=1, checkpoint_dir=ckpt)
+    for a, b in zip(jax.tree.leaves(res_a.params),
+                    jax.tree.leaves(res_a2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_hyper_sweep_field_names_guard_resume(tmp_path):
