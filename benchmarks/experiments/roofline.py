@@ -17,28 +17,31 @@ chip's two roofs:
   VMEM/registers; only MXU utilization is reported as a utilization.
 
 For this model family (MLP widths 64-128, latent dims <= 16, batch 64)
-the honest result is that MXU utilization is ~1% and the binding
-constraint is neither roof but the *sequential op-latency chain*: a
-training step is ~hundreds of tiny fused ops with data dependencies,
-each far below MXU tile sizes (SURVEY.md §6: ~1e4-1e5 params). The
-framework's answer is architectural, not kernel-level: batch independent
-members into the same ops (vmap sweeps), which multiplies arithmetic per
-op at ~constant op count — the sweep rows quantify exactly that (11
-members: ~3x the delivered FLOP/s of the single run and ~28x bench.py's
-torch-baseline-normalized member-steps/s).
+the honest result is that MXU utilization is far below 1e-1 and the
+binding constraint is the *sequential op-latency chain*: a training step
+is ~hundreds of tiny fused ops with data dependencies, each far below
+MXU tile sizes (SURVEY.md §6: ~1e4-1e5 params) — the single-run step is
+slower than even the pessimistic unfused-bytes bound, so no memory model
+explains its time. The framework's answer is architectural, not
+kernel-level: batch independent members into the same ops (vmap sweeps),
+which multiplies arithmetic per op at ~constant op count — the sweep
+rows quantify exactly that.
 
 **Extracting per-step cost.** ``compiled.cost_analysis()`` (XLA's
 HloCostAnalysis) counts a loop body ONCE, not multiplied by trip count
 (verified on both CPU and the TPU plugin; pinned by
 ``tests/test_roofline.py``). The fused trainer is an outer scan over
-validation blocks whose body holds an inner scan of train steps, both
-optionally unrolled — so a program's raw reported cost is
-``outer_unroll * (inner_unroll * step + val_pass)`` and depends on the
-unroll config, not on n_iter. To isolate exactly one step, this script
-compiles the same program at inner unroll 2 and 1 (outer 1) and takes
-the difference: the val pass, setup, and epilogue cancel, leaving one
-step's flops/bytes (up to cross-step fusion in the unrolled pair, which
-can only shrink the diff — so utilization is if anything understated).
+validation blocks whose body holds an inner scan of ``val_freq - 1``
+train steps (the block's first step + validation sit outside it), both
+optionally unrolled. Unrolling by ``u`` puts ``u`` steps in the body —
+counted once — so differencing compiles at inner unroll ``u`` and 1
+cancels the val pass, setup, and epilogue, leaving ``u - 1`` steps'
+flops/bytes. ``u`` MUST divide the inner length: jax inlines the
+remainder steps of a non-dividing unroll outside the loop, and the
+analysis counts those in full (unroll=2 on the default 9-step inner scan
+reports 3 bodies and doubles the estimate — exactly the bug this
+comment guards). Cross-step fusion inside the unrolled body can only
+shrink the diff, so utilization is if anything understated.
 
 Writes benchmarks/results/roofline.json and prints a table.
 
@@ -91,19 +94,40 @@ def cost_of(compiled):
     return flops, nbytes
 
 
-def step_cost(make_fn, args):
-    """Per-step (flops, bytes) by differencing inner unroll 2 vs 1."""
+def _unroll_divisor(inner_len: int) -> int:
+    """Smallest divisor >1 of the inner scan length. Divisibility matters:
+    a non-dividing unroll makes jax inline the remainder steps OUTSIDE the
+    loop, and HLO cost analysis counts those in full — e.g. unroll=2 on
+    the default 9-step inner scan reports 3 step-bodies, silently doubling
+    the differenced per-step cost (caught in review; pinned by
+    tests/test_roofline.py)."""
+    for u in range(2, inner_len + 1):
+        if inner_len % u == 0:
+            return u
+    return inner_len
+
+
+def step_cost(make_fn, args, inner_len):
+    """Per-step (flops, bytes) by differencing two compiles of the same
+    program at inner unroll u vs 1, where u divides the inner scan length
+    (``inner_len`` = val_freq - 1: the block's first step + validation sit
+    outside the inner scan). The unrolled body is counted once as u steps,
+    so (cost(u) - cost(1)) / (u - 1) isolates one step; the val pass,
+    setup, and epilogue cancel exactly."""
     import jax
 
+    u = _unroll_divisor(inner_len)
+    if u < 2:
+        return None, None  # val_freq=2: nothing to difference
     costs = []
-    for unroll in ((1, 1), (2, 1)):
+    for unroll in ((1, 1), (u, 1)):
         compiled = jax.jit(make_fn(unroll)).lower(*args).compile()
         f, b = cost_of(compiled)
         if f is None:
             return None, None
         costs.append((f, b))
-    (f1, b1), (f2, b2) = costs
-    return f2 - f1, b2 - b1
+    (f1, b1), (fu, bu) = costs
+    return (fu - f1) / (u - 1), (bu - b1) / (u - 1)
 
 
 def make_single(case, cfg):
@@ -150,10 +174,10 @@ def make_sweep_chunk(case, cfg, n_members):
 
 
 def analyze(label, make_fn, args, ship_unroll, n_steps, n_members,
-            measure, peaks):
+            measure, peaks, inner_len):
     import jax
 
-    flops, nbytes = step_cost(make_fn, args)
+    flops, nbytes = step_cost(make_fn, args, inner_len)
     row = {
         "program": label,
         "n_steps": n_steps,
@@ -234,12 +258,22 @@ def fmt(row):
                 "logical)"
             )
         if "mxu_utilization" in row:
+            ratio = row["speedup_vs_naive_hbm_roof"]
+            if ratio >= 1:
+                hbm_note = (
+                    f"step beats the naive (unfused-bytes) hbm bound by "
+                    f"{ratio:.2f}x — fusion keeps intermediates in VMEM"
+                )
+            else:
+                hbm_note = (
+                    f"step takes {1 / ratio:.2f}x even the pessimistic "
+                    "unfused-bytes hbm bound — no memory model explains "
+                    "its time"
+                )
             out.append(
                 f"  mxu utilization {row['mxu_utilization'] * 100:.3f}%; "
-                f"step beats the naive hbm bound by "
-                f"{row['speedup_vs_naive_hbm_roof']:.2f}x (fusion keeps "
-                "intermediates in VMEM) — the binding constraint is "
-                "sequential op latency, not a roof"
+                f"{hbm_note}; the binding constraint is sequential op "
+                "latency, not a roof"
             )
     return "\n".join(out)
 
@@ -265,18 +299,19 @@ def main():
     peaks = device_peaks()
     measure = not args.analyze_only
 
+    inner_len = cfg.val_freq - 1  # the inner scan's true length
     rows = []
     make_fn, fargs = make_single(case, cfg)
     rows.append(analyze(
         "single-run fused train (beam-S, reference scale)",
-        make_fn, fargs, "auto", cfg.n_iter, 1, measure, peaks,
+        make_fn, fargs, "auto", cfg.n_iter, 1, measure, peaks, inner_len,
     ))
     make_fn, fargs = make_sweep_chunk(case, cfg, args.sweep_members)
     rows.append(analyze(
         f"sweep chunk ({args.sweep_members} members, vmapped)",
         # shipping sweep programs run unrolled=False ((1,1))
         make_fn, fargs, False, cfg.n_iter, args.sweep_members, measure,
-        peaks,
+        peaks, inner_len,
     ))
 
     import jax
@@ -286,11 +321,16 @@ def main():
         "backend": jax.default_backend(),
         "peaks": peaks,
         "n_iter": args.n_iter,
-        "method": "per-step cost = cost(inner_unroll=2) - cost(inner_unroll=1)",
+        "method": (
+            "per-step cost = (cost(inner_unroll=u) - cost(inner_unroll=1))"
+            " / (u-1), u the smallest divisor >1 of the inner scan length"
+            f" val_freq-1 = {cfg.val_freq - 1}"
+        ),
     }
     for r in rows:
         print(fmt(r))
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"meta": meta, "programs": rows}, f, indent=1)
     print(f"wrote {args.out}")

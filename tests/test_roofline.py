@@ -59,12 +59,15 @@ def test_cost_analysis_counts_loop_body_once():
 
 def test_fused_train_step_cost_extraction():
     """The unroll-differencing method roofline.py ships must isolate one
-    train step: (a) the raw program cost is ~independent of n_iter (body
-    counted once), (b) the (2,1)-(1,1) diff is positive and at least the
-    analytic flops of the step's largest matmul, and (c) the diff is
-    stable — ((5,1)-(1,1))/4 agrees within 50% (each extra unroll adds
-    exactly one step, up to cross-step fusion; 1/2/5 all divide the
-    val_freq=10 inner scan so no remainder steps are inlined)."""
+    train step. The inner scan is val_freq - 1 = 9 steps (the block's
+    first step + validation sit OUTSIDE it), so only unrolls dividing 9
+    are remainder-free. Pins: (a) raw program cost is ~independent of
+    n_iter (body counted once); (b) ((3,1)-(1,1))/2 is positive and at
+    least the analytic flops of the step's largest matmul; (c) stable —
+    ((9,1)-(1,1))/8 agrees within 30%; (d) the canary that caught the
+    original bug: a NON-dividing unroll ((2,1)) inlines the remainder
+    step and inflates the diff to ~2 steps — the script must never use
+    one."""
     from dpivae_tpu.cases import get_case
     from dpivae_tpu.config import TrainConfig
     from dpivae_tpu.train import setup_model
@@ -101,11 +104,20 @@ def test_fused_train_step_cost_extraction():
     f_large = _flops(build_train_fn(cfg_l, case, unroll=(1, 1)), *args_l)
     assert f_large < 2 * f11
 
-    f21 = flops_at((2, 1))
-    f51 = flops_at((5, 1))
-    step_a = f21 - f11
-    step_b = (f51 - f11) / 4
+    assert cfg.val_freq == 10  # the divisor choices below assume L=9
+    f31 = flops_at((3, 1))
+    f91 = flops_at((9, 1))
+    step_a = (f31 - f11) / 2
+    step_b = (f91 - f11) / 8
     # encoder trunk matmul fwd: n_batch x nd_x @ nd_x x width
     floor = 2 * cfg.n_batch * 64 * 64
     assert step_a > floor
-    assert abs(step_b - step_a) < 0.5 * step_a
+    assert abs(step_b - step_a) < 0.3 * step_a
+    # the roofline module must pick a dividing unroll for L=9
+    roofline = _load_roofline()
+    assert roofline._unroll_divisor(9) == 3
+    assert roofline._unroll_divisor(7) == 7  # prime: full unroll
+    # canary: a NON-dividing unroll inlines the remainder step, which the
+    # cost analysis counts in full — the diff then measures ~2 steps
+    f21 = flops_at((2, 1))
+    assert f21 - f11 > 1.5 * step_a
