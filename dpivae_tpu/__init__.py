@@ -8,8 +8,8 @@ reference code layout described in SURVEY.md) as an idiomatic JAX/XLA stack:
   metrics, data generation (ref: utils/ of the reference).
 - ``dpivae_tpu.ops``      — core differentiable ops: gradient-reversal
   (jax.custom_vjp), full-covariance MVN sampling/log-density kernels.
-- ``dpivae_tpu.models``   — Flax modules: encoders, decoders, surrogate MLPs,
-  and the DPIVAE model itself (ref: models/).
+- ``dpivae_tpu.models``   — functional params-pytree modules: encoders,
+  decoders, surrogate MLPs, and the DPIVAE model itself (ref: models/).
 - ``dpivae_tpu.physics``  — analytic physics models as pure jnp functions
   (ref: cases/*/simple_beam_model.py, mass_spring.py).
 - ``dpivae_tpu.cases``    — declarative case studies (simple_beam,
