@@ -94,17 +94,26 @@ def cost_of(compiled):
     return flops, nbytes
 
 
+# Largest unroll the analysis will compile: a prime inner length has no
+# divisor but itself, and fully unrolling e.g. a 1022-step body (val_freq
+# 1023) just for cost analysis can take minutes of compile. Past this cap
+# the differencing is skipped (step_cost returns None) instead.
+_MAX_ANALYSIS_UNROLL = 16
+
+
 def _unroll_divisor(inner_len: int) -> int:
-    """Smallest divisor >1 of the inner scan length. Divisibility matters:
-    a non-dividing unroll makes jax inline the remainder steps OUTSIDE the
-    loop, and HLO cost analysis counts those in full — e.g. unroll=2 on
-    the default 9-step inner scan reports 3 step-bodies, silently doubling
-    the differenced per-step cost (caught in review; pinned by
-    tests/test_roofline.py)."""
-    for u in range(2, inner_len + 1):
+    """Smallest divisor >1 of the inner scan length (capped — see
+    ``_MAX_ANALYSIS_UNROLL``). Divisibility matters: a non-dividing unroll
+    makes jax inline the remainder steps OUTSIDE the loop, and HLO cost
+    analysis counts those in full — e.g. unroll=2 on the default 9-step
+    inner scan reports 3 step-bodies, silently doubling the differenced
+    per-step cost (caught in review; pinned by tests/test_roofline.py).
+    Prime lengths within the cap fall back to the full unroll; past it
+    returns 1, signalling "skip the differencing"."""
+    for u in range(2, min(inner_len, _MAX_ANALYSIS_UNROLL) + 1):
         if inner_len % u == 0:
             return u
-    return inner_len
+    return inner_len if inner_len <= _MAX_ANALYSIS_UNROLL else 1
 
 
 def step_cost(make_fn, args, inner_len):

@@ -116,7 +116,12 @@ def test_fused_train_step_cost_extraction():
     # the roofline module must pick a dividing unroll for L=9
     roofline = _load_roofline()
     assert roofline._unroll_divisor(9) == 3
-    assert roofline._unroll_divisor(7) == 7  # prime: full unroll
+    assert roofline._unroll_divisor(7) == 7  # prime within cap: full unroll
+    # prime PAST the cap: never compile a giant body for analysis —
+    # return 1, which step_cost treats as "skip the differencing"
+    assert roofline._unroll_divisor(1023) == 3  # 1023 = 3*341, fine
+    assert roofline._unroll_divisor(1021) == 1  # prime: skip
+    assert roofline._unroll_divisor(34) == 2
     # canary: a NON-dividing unroll inlines the remainder step, which the
     # cost analysis counts in full — the diff then measures ~2 steps
     f21 = flops_at((2, 1))
