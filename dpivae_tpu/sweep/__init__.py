@@ -13,6 +13,7 @@ from dpivae_tpu.sweep.sweep import (  # noqa: F401
     HyperSweepResult,
     SweepResult,
     auto_chunk_size,
+    clean_checkpoint_dir,
     member_step_cost,
     train_hyper_sweep,
     member_datasets,

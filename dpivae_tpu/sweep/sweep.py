@@ -18,6 +18,7 @@ import functools
 import hashlib
 import json
 import os
+import re
 import sys
 import time
 import warnings
@@ -112,6 +113,7 @@ def train_hyper_sweep(
     member_axis: str = "sweep",
     checkpoint_dir: Optional[str] = None,
     chunk_callback=None,
+    gc_stale_chunks: bool = False,
 ) -> HyperSweepResult:
     """Train a hyperparameter grid as one batched vmapped program.
 
@@ -135,14 +137,16 @@ def train_hyper_sweep(
         mesh: optional device mesh; members shard over ``member_axis``
             (padded to the axis size, pads trained and dropped), with the
             same optional 2-D "dp" batch sharding as ``train_sweep``.
-        checkpoint_dir / chunk_callback: chunk persistence/resume and
-            host-side chunk streaming, exactly as in ``train_sweep``
-            (chunked non-mesh path; the manifest digest covers the hyper
-            grid columns too).
+        checkpoint_dir / chunk_callback / gc_stale_chunks: chunk
+            persistence/resume, host-side chunk streaming, and opt-in
+            orphan GC, exactly as in ``train_sweep`` (chunked non-mesh
+            path; the manifest digest covers the hyper grid columns too).
 
     Returns:
         HyperSweepResult ordered row-major over (grid row, run).
     """
+    if gc_stale_chunks and checkpoint_dir is None:
+        raise ValueError("gc_stale_chunks requires checkpoint_dir")
     fields = tuple(sorted(grid))
     if not fields:
         raise ValueError("grid must contain at least one field")
@@ -271,6 +275,7 @@ def train_hyper_sweep(
             if checkpoint_dir is not None else None
         ),
         label="hyper-sweep",
+        gc_stale_chunks=gc_stale_chunks,
     )
     return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
@@ -624,6 +629,118 @@ def _sweep_manifest(
     return {"digest": h.hexdigest(), "n_members": int(n_members)}
 
 
+# Sweep chunk filenames: digest-keyed (current) and legacy (pre-digest
+# naming — unresumable since the naming change, see docs/MIGRATION.md).
+_DIGEST_CHUNK_RE = re.compile(r"^chunk_([0-9a-f]{12})_\d{6}\.npz$")
+_LEGACY_CHUNK_RE = re.compile(r"^chunk_\d{6}\.npz$")
+
+# Warn when a checkpoint dir's chunk files exceed this many MB
+# (override with DPIVAE_CHECKPOINT_WARN_MB; <=0 disables).
+_CHECKPOINT_WARN_MB_DEFAULT = 512.0
+
+
+def _read_manifest(checkpoint_dir: str) -> dict:
+    try:
+        with open(os.path.join(checkpoint_dir, "manifest.json")) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            return data
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _manifest_history(prev: dict) -> dict:
+    """Digest registry {digest12: {"ts", "n_members"}} from a manifest,
+    folding in a pre-history manifest's single digest as one entry."""
+    history = prev.get("history")
+    history = dict(history) if isinstance(history, dict) else {}
+    old = prev.get("digest")
+    if isinstance(old, str) and len(old) >= 12 and old[:12] not in history:
+        history[old[:12]] = {"ts": None, "n_members": prev.get("n_members")}
+    return history
+
+
+def _warn_if_dir_large(checkpoint_dir: str) -> None:
+    limit_mb = float(
+        os.environ.get("DPIVAE_CHECKPOINT_WARN_MB", _CHECKPOINT_WARN_MB_DEFAULT)
+    )
+    if limit_mb <= 0:
+        return
+    total = 0
+    for f in os.listdir(checkpoint_dir):
+        if _DIGEST_CHUNK_RE.match(f) or _LEGACY_CHUNK_RE.match(f):
+            try:
+                total += os.path.getsize(os.path.join(checkpoint_dir, f))
+            except OSError:
+                pass
+    if total > limit_mb * 1e6:
+        warnings.warn(
+            f"sweep checkpoint dir {checkpoint_dir} holds "
+            f"{total / 1e6:.0f} MB of chunk checkpoints (warn threshold "
+            f"{limit_mb:.0f} MB, DPIVAE_CHECKPOINT_WARN_MB) — stale sweep "
+            "identities accumulate; prune with sweep.clean_checkpoint_dir "
+            "or pass gc_stale_chunks=True to the sweep trainers",
+            stacklevel=4,
+        )
+
+
+def clean_checkpoint_dir(
+    checkpoint_dir: str,
+    keep=None,
+    max_age_days: Optional[float] = None,
+):
+    """Garbage-collect stale sweep chunk checkpoints from a shared dir.
+
+    Deletes chunk files whose identity digest is NOT in ``keep`` plus any
+    legacy digest-less ``chunk_NNNNNN.npz`` files (unresumable since chunk
+    names embed the sweep identity digest — docs/MIGRATION.md). By default
+    ``keep`` is every digest recorded in the dir's manifest registry (each
+    sweep run registers its digest there), so the default pass removes only
+    orphans: chunks no registered sweep can ever resume. Pass
+    ``max_age_days`` to additionally expire registered digests whose last
+    run is older; pass an explicit ``keep`` iterable of digests (full or
+    12-char prefixes) to override the registry entirely. The registry is
+    pruned to match. Returns the deleted filenames.
+    """
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    prev = _read_manifest(checkpoint_dir)
+    history = _manifest_history(prev)
+    if keep is None:
+        kept = set(history)
+        if max_age_days is not None:
+            cutoff = time.time() - max_age_days * 86400.0
+            kept = {
+                d for d in kept
+                if (history.get(d) or {}).get("ts") is None
+                or history[d]["ts"] >= cutoff
+            }
+    else:
+        kept = {str(k)[:12] for k in keep}
+    deleted = []
+    for f in sorted(os.listdir(checkpoint_dir)):
+        m = _DIGEST_CHUNK_RE.match(f)
+        if m is not None:
+            if m.group(1) in kept:
+                continue
+        elif not _LEGACY_CHUNK_RE.match(f):
+            continue  # not a chunk checkpoint — never touch it
+        os.remove(os.path.join(checkpoint_dir, f))
+        deleted.append(f)
+    pruned = {d: meta for d, meta in history.items() if d in kept}
+    if prev or pruned:
+        prev["history"] = pruned
+        with open(os.path.join(checkpoint_dir, "manifest.json"), "w") as f:
+            json.dump(prev, f)
+    if deleted:
+        _progress(
+            f"[sweep] checkpoint GC removed {len(deleted)} stale chunk "
+            f"file(s) from {checkpoint_dir}"
+        )
+    return deleted
+
+
 def _write_sweep_manifest(checkpoint_dir: str, manifest: dict) -> str:
     """Record the latest sweep's manifest and return the digest prefix that
     keys this sweep's chunk FILENAMES (``chunk_<digest12>_<start>.npz``).
@@ -634,8 +751,9 @@ def _write_sweep_manifest(checkpoint_dir: str, manifest: dict) -> str:
     previous recompute was interrupted. Chunks of other sweeps are left
     untouched (alternating two sweeps over one dir keeps BOTH resumable);
     a one-line note flags them the first time so a user who expected a
-    resume understands the recompute. manifest.json itself is
-    informational (latest sweep wins)."""
+    resume understands the recompute. manifest.json records the latest
+    sweep's identity plus a ``history`` registry of every digest that has
+    run in the dir — the default keep-set of ``clean_checkpoint_dir``."""
     digest12 = manifest["digest"][:12]
     foreign = [
         f for f in os.listdir(checkpoint_dir)
@@ -648,9 +766,14 @@ def _write_sweep_manifest(checkpoint_dir: str, manifest: dict) -> str:
             "from other sweep identities (different config/case/grid/keys "
             "or a pre-digest-naming version) — ignored, not resumed"
         )
+    history = _manifest_history(_read_manifest(checkpoint_dir))
+    history[digest12] = {
+        "ts": time.time(), "n_members": manifest["n_members"],
+    }
     path = os.path.join(checkpoint_dir, "manifest.json")
     with open(path, "w") as f:
-        json.dump(manifest, f)
+        json.dump({**manifest, "history": history}, f)
+    _warn_if_dir_large(checkpoint_dir)
     return digest12
 
 
@@ -686,6 +809,7 @@ def _chunked_execute(
     chunk_callback=None,
     manifest: Optional[dict] = None,
     label: str = "sweep",
+    gc_stale_chunks: bool = False,
 ):
     """Chunked sweep executor shared by every sweep entry point.
 
@@ -733,6 +857,13 @@ def _chunked_execute(
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
         digest12 = _write_sweep_manifest(checkpoint_dir, manifest)
+        if gc_stale_chunks:
+            # Opt-in orphan GC: drops chunks of UNREGISTERED digests (and
+            # legacy digest-less files); every registered sweep — this one
+            # was just registered — keeps its chunks and stays resumable.
+            clean_checkpoint_dir(checkpoint_dir)
+    elif gc_stale_chunks:
+        raise ValueError("gc_stale_chunks requires checkpoint_dir")
 
     chunks = []
     n_chunks = (n_members + n_pad) // chunk_size
@@ -840,6 +971,7 @@ def train_sweep(
     chunk_size: Union[int, str, None] = "auto",
     checkpoint_dir: Optional[str] = None,
     chunk_callback=None,
+    gc_stale_chunks: bool = False,
 ) -> SweepResult:
     """Train the full (λ × run) grid as batched vmapped programs.
 
@@ -873,11 +1005,18 @@ def train_sweep(
             probe dispatch) into the training wall time instead of after
             it; the callback runs on the sweep thread, so hand long work
             to an executor and return.
+        gc_stale_chunks: with ``checkpoint_dir``, run
+            ``clean_checkpoint_dir`` after registering this sweep: chunk
+            files whose digest no registered sweep owns (orphans, legacy
+            digest-less names) are deleted; every registered sweep —
+            including other sweeps sharing the dir — stays resumable.
 
     Returns:
         SweepResult with leading member axis ordered λ-major
         (member = i_lambda * n_runs + i_run).
     """
+    if gc_stale_chunks and checkpoint_dir is None:
+        raise ValueError("gc_stale_chunks requires checkpoint_dir")
     # Member grid bookkeeping is host work (the chunk loop slices keys and
     # lambdas as numpy); building it eagerly on the tunneled TPU backend
     # would pay a remote-compile round trip per op.
@@ -988,6 +1127,7 @@ def train_sweep(
             if checkpoint_dir is not None else None
         ),
         label="sweep",
+        gc_stale_chunks=gc_stale_chunks,
     )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
@@ -1264,6 +1404,7 @@ def train_sweep_data(
     chunk_size: Union[int, str, None] = "auto",
     checkpoint_dir: Optional[str] = None,
     chunk_callback=None,
+    gc_stale_chunks: bool = False,
 ) -> SweepResult:
     """Sweep over *host-provided* per-member datasets.
 
@@ -1273,11 +1414,13 @@ def train_sweep_data(
     different quadrant-mixture distribution. The grid trains as vmapped
     programs of ``chunk_size`` members (see train_sweep: long single
     programs trip the TPU transport), optionally mesh-sharded instead.
-    ``checkpoint_dir``/``chunk_callback`` behave exactly as in
-    ``train_sweep`` (chunked non-mesh path; the manifest digest covers the
-    per-member datasets too, so swapping datasets never resumes foreign
-    chunks).
+    ``checkpoint_dir``/``chunk_callback``/``gc_stale_chunks`` behave
+    exactly as in ``train_sweep`` (chunked non-mesh path; the manifest
+    digest covers the per-member datasets too, so swapping datasets never
+    resumes foreign chunks).
     """
+    if gc_stale_chunks and checkpoint_dir is None:
+        raise ValueError("gc_stale_chunks requires checkpoint_dir")
     lambdas = jnp.asarray(lambdas, jnp.float32)
     n_members = lambdas.shape[0]
     data_train = tuple(jnp.asarray(a) for a in data_train[:3])
@@ -1381,5 +1524,6 @@ def train_sweep_data(
             if checkpoint_dir is not None else None
         ),
         label="data-sweep",
+        gc_stale_chunks=gc_stale_chunks,
     )
     return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)

@@ -178,6 +178,91 @@ def test_sweep_checkpoint_resume(tmp_path):
     )
 
 
+def test_checkpoint_gc_keeps_registered_sweeps_resumable(tmp_path):
+    """Two interleaved sweeps share a dir; gc_stale_chunks deletes an
+    unregistered third sweep's orphan chunks (and legacy digest-less
+    files) while BOTH registered sweeps stay resumable."""
+    import json
+    import os
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    ckpt = str(tmp_path / "shared")
+    key = jax.random.PRNGKey(11)
+    lam_a, lam_b = [1 / 256, 0.0], [0.5, -0.5]
+    res_a = train_sweep(cfg, case, lambdas=lam_a, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)
+    res_b = train_sweep(cfg, case, lambdas=lam_b, n_runs=1, key=key,
+                        chunk_size=1, checkpoint_dir=ckpt)
+    # Plant an orphan from an unregistered "third sweep" + a legacy file
+    orphan = os.path.join(ckpt, "chunk_deadbeef0123_000000.npz")
+    legacy = os.path.join(ckpt, "chunk_000000.npz")
+    np.savez(orphan.replace(".npz", ""), x=np.zeros(3))
+    os.replace(orphan.replace(".npz", "") + ".npz", orphan)
+    np.savez(legacy.replace(".npz", ""), x=np.zeros(3))
+    os.replace(legacy.replace(".npz", "") + ".npz", legacy)
+    unrelated = os.path.join(ckpt, "notes.txt")
+    with open(unrelated, "w") as f:
+        f.write("keep me")
+
+    res_a2 = train_sweep(cfg, case, lambdas=lam_a, n_runs=1, key=key,
+                         chunk_size=1, checkpoint_dir=ckpt,
+                         gc_stale_chunks=True)
+    files = set(os.listdir(ckpt))
+    assert "chunk_deadbeef0123_000000.npz" not in files
+    assert "chunk_000000.npz" not in files
+    assert "notes.txt" in files  # non-chunk files are never touched
+    # registry holds both sweeps
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["history"]) == 2
+    # both sweeps still resume byte-identically (A via the GC run itself,
+    # B from its surviving chunks)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.logs.train), np.asarray(res_a2.logs.train)
+    )
+    res_b2 = train_sweep(cfg, case, lambdas=lam_b, n_runs=1, key=key,
+                         chunk_size=1, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.logs.train), np.asarray(res_b2.logs.train)
+    )
+
+    # age-based expiry: backdate sweep B's registry entry and prune
+    from dpivae_tpu.sweep import clean_checkpoint_dir
+
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    # backdate one registered sweep's entry; exactly its chunks must vanish
+    digest_b = sorted(manifest["history"])[0]
+    manifest["history"][digest_b]["ts"] -= 10 * 86400
+    with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    deleted = clean_checkpoint_dir(ckpt, max_age_days=5)
+    assert all(fn.startswith(f"chunk_{digest_b}_") for fn in deleted)
+    assert len(deleted) == 2
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        assert digest_b not in json.load(f)["history"]
+
+    with pytest.raises(ValueError, match="gc_stale_chunks"):
+        train_sweep(cfg, case, lambdas=lam_a, n_runs=1, key=key,
+                    gc_stale_chunks=True)
+
+
+def test_checkpoint_dir_size_warning(tmp_path, monkeypatch):
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    ckpt = str(tmp_path / "big")
+    monkeypatch.setenv("DPIVAE_CHECKPOINT_WARN_MB", "0.0001")  # ~100 bytes
+    with pytest.warns(UserWarning, match="chunk checkpoints"):
+        train_sweep(cfg, case, lambdas=[1 / 256, 0.0], n_runs=1,
+                    key=jax.random.PRNGKey(3), chunk_size=1,
+                    checkpoint_dir=ckpt)
+        # the warning fires on the NEXT run over the now-populated dir
+        train_sweep(cfg, case, lambdas=[1 / 256, 0.0], n_runs=1,
+                    key=jax.random.PRNGKey(3), chunk_size=1,
+                    checkpoint_dir=ckpt)
+
+
 def test_sweep_full_resume_skips_aot_compile(tmp_path, monkeypatch):
     """A fully checkpoint-resumed train_sweep dispatches no fresh chunk,
     so the (potentially expensive) AOT wrap must never be entered — the
