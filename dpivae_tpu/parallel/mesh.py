@@ -35,7 +35,28 @@ def make_mesh(
 
     With one axis the mesh is 1-D over all requested devices; pass ``shape``
     to factorize (e.g. axes=("sweep", "dp"), shape=(2, 4)).
+
+    Single-host (single-process) only, by explicit guard: the trainer and
+    sweep engine feed *whole* host arrays into jitted programs, which is
+    only correct when one process owns every addressable device. On a
+    multi-host pod slice (``jax.process_count() > 1`` after
+    ``jax.distributed.initialize``) each process sees only its local chips
+    via ``jax.devices()``-slicing, so silently proceeding would build a
+    per-host mesh and train disjoint replicas that never synchronize.
+    Scaling beyond one host needs ``jax.make_array_from_process_local_data``
+    feeding — see docs/PERFORMANCE.md "Multi-host boundary".
     """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            f"make_mesh is single-host only (this is process "
+            f"{jax.process_index()} of {jax.process_count()}): dpivae_tpu "
+            "feeds whole host arrays into its jitted programs, which is "
+            "incorrect under multi-controller JAX. A single v5e host "
+            "(8 chips) covers every shipped workload; for pod slices, "
+            "build a global-device Mesh and feed per-process shards via "
+            "jax.make_array_from_process_local_data (docs/PERFORMANCE.md "
+            "'Multi-host boundary')."
+        )
     devices = jax.devices()[: n_devices or len(jax.devices())]
     if shape is None:
         shape = (len(devices),) if len(axes) == 1 else None

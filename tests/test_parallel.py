@@ -130,3 +130,14 @@ def test_dp_mesh_requires_divisible_batch():
     mesh = make_mesh(4, axes=("dp",))
     with pytest.raises(ValueError, match="divisible"):
         build_train_fn(cfg, case, mesh)
+
+
+def test_make_mesh_rejects_multihost(monkeypatch):
+    """Under multi-controller JAX (a pod slice), make_mesh must fail loudly
+    instead of building a per-host mesh that trains disjoint replicas."""
+    import pytest
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(NotImplementedError, match="single-host only"):
+        make_mesh(1)

@@ -307,3 +307,66 @@ def test_unroll_variants_equivalent():
         np.asarray(l_unrolled.train), np.asarray(l_rolled.train),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_progress_callback_fires_per_block():
+    """Opt-in progress narration fires once per validation block with the
+    reference's postfix fields, and goes quiet after early stopping."""
+    from dpivae_tpu.train.train import build_train_fn, make_train_key
+
+    def run(setup):
+        case, cfg, model, data_train, data_val = setup
+        calls = []
+
+        def cb(it, row, val_row, counter, active):
+            if bool(active):
+                calls.append(
+                    (int(it), float(row[0]), float(val_row[0]), int(counter))
+                )
+
+        fn = jax.jit(build_train_fn(cfg, case, progress=cb))
+        params = model.init(jax.random.PRNGKey(3))
+        state, logs = fn(
+            params, make_train_key(4),
+            tuple(np.asarray(a) for a in data_train[:3]),
+            tuple(np.asarray(a) for a in data_val[:3]),
+            jnp.asarray(cfg.lambda_g0, jnp.float32),
+        )
+        jax.block_until_ready(state.params)
+        jax.effects_barrier()
+        return cfg, calls, logs
+
+    # Healthy run: every block narrates, fields are finite.
+    cfg, calls, _ = run(_setup(n_iter=60, val_freq=10))
+    assert [c[0] for c in calls] == [0, 10, 20, 30, 40, 50]
+    for it, elbo, elbo_val, counter in calls:
+        assert np.isfinite(elbo) and np.isfinite(elbo_val)
+        assert counter >= 0
+
+    # Early-stopped run: narration covers exactly the live blocks
+    # (silence once the train state freezes).
+    cfg, calls, logs = run(_diverging_setup(
+        n_iter=200, val_freq=10, patience=1, n_mc_val=1, min_delta=0.0
+    ))
+    assert logs.stop_iter < cfg.n_iter
+    live = np.flatnonzero(np.asarray(logs.val_active)) * cfg.val_freq
+    assert [c[0] for c in calls] == list(live)
+
+
+def test_progress_default_printer_writes_stderr(capfd):
+    """progress=True narrates the tqdm-postfix fields to stderr and the
+    run's results are unchanged by the callback."""
+    case, cfg, model, data_train, data_val = _setup(n_iter=30, val_freq=10)
+    key = jax.random.PRNGKey(11)
+    p_quiet, logs_quiet = train_model(
+        cfg, model, case, data_train, data_val, key=key, progress=False
+    )
+    p_loud, logs_loud = train_model(
+        cfg, model, case, data_train, data_val, key=key, progress=True
+    )
+    jax.effects_barrier()
+    err = capfd.readouterr().err
+    assert "ELBO_loss=" in err and "ELBO_val=" in err
+    assert "iter 20/30" in err and "counter=" in err
+    for a, b in zip(jax.tree.leaves(p_quiet), jax.tree.leaves(p_loud)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
