@@ -121,7 +121,16 @@ class TrainConfig:
     ch_latent: int = 64
 
     # Framework extensions (no reference equivalent)
-    use_pallas: bool = False  # fused pallas kernel for the decoder branch
+    # Fused pallas kernel for the data-driven decoder branch:
+    # False | True | "auto" ("auto" selects on the measured shape boundary
+    # from the scaling study — see ops/pallas_mlp.py:auto_select and
+    # benchmarks/results/scaling.json).
+    use_pallas: Any = False
+    # Override EVERY MLP trunk width in the model (encoder trunk(s),
+    # decoder_x hidden, prior nets, aux decoders). None keeps the
+    # reference architecture (64/128 — ref cases/*/__init__.py presets);
+    # the scaling study (benchmarks/experiments/scaling.py) sweeps this.
+    hidden_width: Optional[int] = None
 
     def with_preset(self, preset: Mapping[str, Any]) -> "TrainConfig":
         """Overlay a case preset dict, mirroring the reference's

@@ -99,6 +99,29 @@ def _reference_mlp(x, w0, b0, w1, b1):
     return jnp.maximum(x @ w0 + b0, 0.0) @ w1 + b1
 
 
+# Measured pallas-vs-XLA decision boundary for ``use_pallas="auto"``
+# (benchmarks/experiments/scaling.py; committed data in
+# benchmarks/results/scaling.json). Placeholder "never" until the scaling
+# study lands its numbers — updated in the same change that commits them.
+_AUTO_MIN_ROWS = None  # None -> no measured win region yet
+_AUTO_MIN_HIDDEN = None
+
+
+def auto_select(rows: int, d_in: int, d_hidden: int, d_out: int) -> bool:
+    """Resolve ``use_pallas="auto"`` for a fused-MLP call shape.
+
+    Returns True only inside the region where the pallas kernel MEASURED
+    faster than XLA's fusion on the TPU (see module constants above); the
+    call-time ``_eligible`` fallback still guards non-TPU backends, so a
+    True here is safe everywhere.
+    """
+    if _AUTO_MIN_ROWS is None or _AUTO_MIN_HIDDEN is None:
+        return False
+    if d_hidden % 128:  # kernel-ineligible shape
+        return False
+    return rows >= _AUTO_MIN_ROWS and d_hidden >= _AUTO_MIN_HIDDEN
+
+
 def _eligible(x, w0, w1) -> bool:
     if not _HAS_PLTPU or jax.default_backend() != "tpu":
         return False

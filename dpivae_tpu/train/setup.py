@@ -82,6 +82,34 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
     else:
         raise ValueError(f"Unknown model type {config.model_type}")
 
+    # Width override (framework extension): hidden_width=w sets every MLP
+    # trunk in the model to width w (scaling studies / wider workloads);
+    # None keeps the reference architecture defaults.
+    widths = {}
+    if config.hidden_width is not None:
+        w = int(config.hidden_width)
+        widths = dict(
+            encoder_layers=(w,),
+            encoder_layers_s=(w,),
+            prior_net_layers=(w,),
+            decoder_aux_layers=(w,),
+            decoder_x_hidden=w,
+        )
+
+    use_pallas = config.use_pallas
+    if use_pallas == "auto":
+        from dpivae_tpu.ops.pallas_mlp import auto_select
+
+        # Resolve on the TRAINING shape of the one op the kernel covers —
+        # the data-driven decoder branch runs on n_mc_train*n_batch rows
+        # inside the loss (models/vae.py decode path).
+        use_pallas = auto_select(
+            rows=config.n_mc_train * config.n_batch,
+            d_in=config.nz_c + config.nz_y,
+            d_hidden=widths.get("decoder_x_hidden", 128),
+            d_out=case.nd_x,
+        )
+
     return DPIVAE(
         prior_x=case.prior_x_dist(),
         physics_model=case.part_model,
@@ -105,7 +133,8 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         transform_c=transform_c,
         transform_y=transform_y,
         output_transform_zx=output_transform_zx,
-        use_pallas=config.use_pallas,
+        use_pallas=bool(use_pallas),
+        **widths,
     )
 
 

@@ -42,3 +42,64 @@ def test_pallas_flag_matches_plain_model():
     for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_hidden_width_override_scales_every_trunk():
+    """TrainConfig.hidden_width=w rebuilds every MLP trunk at width w
+    (the scaling study's knob, benchmarks/experiments/scaling.py); None
+    keeps the reference architecture."""
+    case = get_case("simple_beam")
+    base = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=32, n_batch=32, use_seed=True
+    )
+    data = sample_response(case, jax.random.PRNGKey(0), 32,
+                           sample_dist=case.gt_dist())
+    w = 256
+    model = setup_model(base.replace(hidden_width=w), case, data)
+    params = model.init(jax.random.PRNGKey(1))
+
+    # S-mode joint encoder trunk, decoder_x hidden, prior nets, aux decoders
+    assert params["encoder"]["trunk"]["layers"][0]["w"].shape[1] == w
+    assert params["decoder_x"]["fx0"]["w"].shape == (
+        base.nz_c + base.nz_y, w)
+    assert params["prior_net_c"]["trunk"]["layers"][0]["w"].shape[1] == w
+    assert params["decoder_c"]["layers"][0]["w"].shape[1] == w
+
+    # the widened model trains a step end-to-end (loss finite)
+    out = model.loss(params, jax.random.PRNGKey(2), data[0], data[1],
+                     data[2], n=2, grl_alpha=base.lambda_g0)
+    assert np.isfinite(np.asarray(out[0])).all()
+
+    # reference default untouched
+    m_ref = setup_model(base, case, data)
+    p_ref = m_ref.init(jax.random.PRNGKey(1))
+    assert p_ref["encoder"]["trunk"]["layers"][0]["w"].shape[1] == 128
+    assert p_ref["decoder_x"]["fx0"]["w"].shape[1] == 128
+
+
+def test_use_pallas_auto_resolves_to_bool():
+    """use_pallas="auto" resolves through the measured boundary
+    (ops/pallas_mlp.py:auto_select) to a plain bool at model build."""
+    from dpivae_tpu.ops import pallas_mlp
+
+    case = get_case("simple_beam")
+    base = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=32, n_batch=32, use_seed=True, use_pallas="auto"
+    )
+    data = sample_response(case, jax.random.PRNGKey(0), 32,
+                           sample_dist=case.gt_dist())
+    model = setup_model(base, case, data)
+    assert model.use_pallas in (True, False)
+    # reference scale (rows=16*32, hidden 128) sits OUTSIDE any measured
+    # win region — auto must keep the XLA path there
+    assert model.use_pallas is False
+
+    # the boundary constants drive the decision
+    if pallas_mlp._HAS_PLTPU:
+        old = pallas_mlp._AUTO_MIN_ROWS, pallas_mlp._AUTO_MIN_HIDDEN
+        try:
+            pallas_mlp._AUTO_MIN_ROWS, pallas_mlp._AUTO_MIN_HIDDEN = 1, 128
+            m2 = setup_model(base, case, data)
+            assert m2.use_pallas is True
+        finally:
+            pallas_mlp._AUTO_MIN_ROWS, pallas_mlp._AUTO_MIN_HIDDEN = old
