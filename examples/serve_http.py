@@ -12,15 +12,20 @@ nothing but the standard library:
                                   => {"y": [[...]], ...named outputs}
 
 The batch dimension is shape-polymorphic in the artifact, so any request
-size compiles once per backend and serves thereafter. This is a demo host —
-single-threaded, no auth; put a real frontend in front for production.
+size compiles once per backend and serves thereafter. The host is a
+``ThreadingHTTPServer`` — one handler thread per connection; concurrent
+requests are safe because ``ServedPredictor.__call__`` is pure (jax's jit
+dispatch is thread-safe and the params live inside the compiled program;
+pinned by tests/test_serving.py::test_served_predictor_thread_safety and
+the http_concurrent script test). This is still a demo host — no auth, no
+request limits; put a real frontend in front for production.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -89,7 +94,7 @@ def main():
     args = parser.parse_args()
 
     served = load_predictor(args.artifact)
-    server = HTTPServer((args.host, args.port), make_handler(served))
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(served))
     print(f"serving {args.artifact} "
           f"(outputs={list(served.outputs)}) on "
           f"http://{args.host}:{server.server_address[1]}", flush=True)

@@ -213,6 +213,64 @@ def test_http_serving_host(tmp_path):
 
         status, out = call("/predict", {"x": x, "c": c})
         assert status == 200
+
+        # Concurrency: the host is a ThreadingHTTPServer and the predictor
+        # call is pure — N simultaneous requests (mixed batch sizes, so
+        # some race the first jit of a new shape) must all succeed and
+        # return exactly the single-client answer.
+        from concurrent.futures import ThreadPoolExecutor
+
+        payloads = [
+            {
+                "x": np.full((b, case.nd_x), 0.1 * b, np.float32).tolist(),
+                "c": np.zeros((b, case.nd_c), np.float32).tolist(),
+                "seed": b,
+            }
+            for b in (1, 2, 5, 1, 2, 5, 1, 2, 5, 1, 2, 5)
+        ]
+        want = {b: call("/predict", p)[1]["y"]
+                for b, p in {p["seed"]: p for p in payloads}.items()}
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            results = list(pool.map(
+                lambda p: (p["seed"], call("/predict", p)), payloads
+            ))
+        for seed, (status, out) in results:
+            assert status == 200
+            np.testing.assert_array_equal(
+                np.asarray(out["y"]), np.asarray(want[seed])
+            )
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_served_predictor_thread_safety(tmp_path):
+    """ServedPredictor is safe under concurrent callers: simultaneous calls
+    (including races on the first jit of a new batch shape) return exactly
+    the single-threaded answers. This is the in-process guarantee the
+    threaded HTTP host (examples/serve_http.py) relies on."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    case, cfg, model, params, _ = _model()
+    path = save_predictor(
+        str(tmp_path / "beam.shlo"), model, params, cfg, case,
+        platforms=("cpu",), n=2,
+    )
+    served = load_predictor(path)
+
+    def job(spec):
+        b, seed = spec
+        x = np.full((b, case.nd_x), 0.05 * seed, np.float32)
+        c = np.zeros((b, case.nd_c), np.float32)
+        return served(x, c, seed=seed)["y"]
+
+    specs = [(b, seed) for b in (1, 4, 9) for seed in (0, 1, 2, 3)]
+    want = {s: job(s) for s in specs}
+
+    # Fresh predictor so the first jit of every batch shape happens UNDER
+    # the concurrent load, not in the warm-up above.
+    served = load_predictor(path)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        got = list(pool.map(job, specs * 3))
+    for spec, y in zip(specs * 3, got):
+        np.testing.assert_array_equal(y, want[spec])
