@@ -95,7 +95,20 @@ def widened_case(base_case, width: int):
     return dataclasses.replace(base_case, part_model=surrogate)
 
 
-def micro_grid(rows_list, hidden_list, reps=30):
+def _micro_reps(rows: int, d_h: int) -> int:
+    """Scan length per timed call. One tunneled jit call costs ~25-30 ms
+    RTT regardless of work (measured), so small shapes need thousands of
+    in-program reps before the kernel cost is visible above the floor;
+    big shapes need fewer to keep the run bounded."""
+    work = rows * d_h
+    if work <= 1 << 20:
+        return 4000
+    if work <= 1 << 24:
+        return 1000
+    return 200
+
+
+def micro_grid(rows_list, hidden_list):
     """Kernel microbench: pallas fused_mlp vs XLA at the decoder-branch
     shape family (d_in=4, d_out=nd_x-like 32), forward AND train-style
     forward+backward (grad wrt x and both weight matrices through the
@@ -108,6 +121,7 @@ def micro_grid(rows_list, hidden_list, reps=30):
     d_in, d_out = 4, 32
     out = []
     for rows, d_h in itertools.product(rows_list, hidden_list):
+        reps = _micro_reps(rows, d_h)
         ks = jax.random.split(jax.random.PRNGKey(0), 5)
         x = jax.random.normal(ks[0], (rows, d_in))
         w0 = jax.random.normal(ks[1], (d_in, d_h)) * 0.3
@@ -159,7 +173,7 @@ def micro_grid(rows_list, hidden_list, reps=30):
             return best / reps * 1e6
 
         row = {
-            "rows": rows, "d_hidden": d_h,
+            "rows": rows, "d_hidden": d_h, "reps": reps,
             "fwd_pallas_us": round(timed(fused_mlp), 2),
             "fwd_xla_us": round(timed(_reference_mlp), 2),
             "train_pallas_us": round(timed_grad(loss_p), 2),

@@ -101,9 +101,18 @@ def _reference_mlp(x, w0, b0, w1, b1):
 
 # Measured pallas-vs-XLA decision boundary for ``use_pallas="auto"``
 # (benchmarks/experiments/scaling.py; committed data in
-# benchmarks/results/scaling.json). Placeholder "never" until the scaling
-# study lands its numbers — updated in the same change that commits them.
-_AUTO_MIN_ROWS = None  # None -> no measured win region yet
+# benchmarks/results/scaling.json, measured on TPU v5e 2026-08-19).
+# Verdict: NO coherent win region exists. Kernel-level, XLA's automatic
+# fusion beats this kernel at every grid cell (ratios 0.38-1.0) except
+# fwd+bwd at rows=65536 x hidden>=512, where the kernel wins <=7.5% —
+# and at exactly those shapes the FULL train program measures ~1.0x
+# (w1024_b1024_mc64: 1.006), i.e. the win vanishes inside the program.
+# Full-program deltas elsewhere (0.61-1.15x) anti-correlate with the
+# kernel microbench (the program's best pallas cell is the kernel's
+# worst), so they are XLA scheduling variance, not kernel effects.
+# Hence "auto" resolves to the XLA path everywhere; the explicit
+# use_pallas=True knob remains for forks whose shapes differ.
+_AUTO_MIN_ROWS = None  # None -> no measured win region (see above)
 _AUTO_MIN_HIDDEN = None
 
 
