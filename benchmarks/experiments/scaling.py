@@ -52,7 +52,8 @@ _spec = importlib.util.spec_from_file_location(
 _roofline = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_roofline)
 device_peaks = _roofline.device_peaks
-step_cost = _roofline.step_cost
+cost_of = _roofline.cost_of
+_unroll_divisor = _roofline._unroll_divisor
 
 WIDTHS = (128, 256, 512, 1024)
 BATCHES = (64, 256, 1024)
@@ -120,14 +121,19 @@ def micro_grid(rows_list, hidden_list):
 
     d_in, d_out = 4, 32
     out = []
+    from dpivae_tpu.utils import on_host_cpu
+
     for rows, d_h in itertools.product(rows_list, hidden_list):
         reps = _micro_reps(rows, d_h)
-        ks = jax.random.split(jax.random.PRNGKey(0), 5)
-        x = jax.random.normal(ks[0], (rows, d_in))
-        w0 = jax.random.normal(ks[1], (d_in, d_h)) * 0.3
-        b0 = jax.random.normal(ks[2], (d_h,)) * 0.1
-        w1 = jax.random.normal(ks[3], (d_h, d_out)) * 0.3
-        b1 = jax.random.normal(ks[4], (d_out,)) * 0.1
+        # Input construction on the host CPU backend: each eager op on the
+        # tunneled TPU pays a ~1s remote compile (CLAUDE.md).
+        with on_host_cpu():
+            ks = jax.random.split(jax.random.PRNGKey(0), 5)
+            x = np.asarray(jax.random.normal(ks[0], (rows, d_in)))
+            w0 = np.asarray(jax.random.normal(ks[1], (d_in, d_h))) * 0.3
+            b0 = np.asarray(jax.random.normal(ks[2], (d_h,))) * 0.1
+            w1 = np.asarray(jax.random.normal(ks[3], (d_h, d_out))) * 0.3
+            b1 = np.asarray(jax.random.normal(ks[4], (d_out,))) * 0.1
 
         def timed(f):
             def body(c, _):
@@ -220,21 +226,32 @@ def train_config_row(case, cfg, peaks, inner_len, label):
     }
 
     # Roofline point (XLA arm): per-step flops by dividing-unroll
-    # differencing; the unroll-(1,1) compile doubles as the timed program.
-    flops, nbytes = step_cost(
-        lambda unroll: build_train_fn(cfg, case, unroll=unroll),
-        args, inner_len,
-    )
+    # differencing (see roofline.step_cost for the method); inlined here
+    # so the unroll-(1,1) compile is REUSED as the XLA timing arm instead
+    # of re-tracing the identical program (~5-7s/row on this 1-core host).
+    compiled_xla = jax.jit(
+        build_train_fn(cfg, case, unroll=(1, 1))
+    ).lower(*args).compile()
+    flops = nbytes = None
+    u = _unroll_divisor(inner_len)
+    f1, b1 = cost_of(compiled_xla)
+    if u >= 2 and f1 is not None:
+        fu, bu = cost_of(
+            jax.jit(build_train_fn(cfg, case, unroll=(u, 1)))
+            .lower(*args).compile()
+        )
+        if fu is not None:
+            flops = (fu - f1) / (u - 1)
+            nbytes = (bu - b1) / (u - 1)
     row["flops_per_step"] = flops
     row["logical_bytes_per_step"] = nbytes
     if flops is not None and peaks:
         row["sol_step_mxu_s"] = flops / peaks["flops"]
 
-    for arm, use_pallas in (("xla", False), ("pallas", True)):
-        cfg_arm = cfg.replace(use_pallas=use_pallas)
-        compiled = jax.jit(
-            build_train_fn(cfg_arm, case, unroll=(1, 1))
-        ).lower(*args).compile()
+    compiled_pallas = jax.jit(
+        build_train_fn(cfg.replace(use_pallas=True), case, unroll=(1, 1))
+    ).lower(*args).compile()
+    for arm, compiled in (("xla", compiled_xla), ("pallas", compiled_pallas)):
 
         def force(out):
             _, logs = out

@@ -662,9 +662,16 @@ def _manifest_history(prev: dict) -> dict:
 
 
 def _warn_if_dir_large(checkpoint_dir: str) -> None:
-    limit_mb = float(
-        os.environ.get("DPIVAE_CHECKPOINT_WARN_MB", _CHECKPOINT_WARN_MB_DEFAULT)
-    )
+    raw = os.environ.get("DPIVAE_CHECKPOINT_WARN_MB",
+                         _CHECKPOINT_WARN_MB_DEFAULT)
+    try:
+        limit_mb = float(raw)
+    except (TypeError, ValueError):
+        warnings.warn(
+            f"ignoring non-numeric DPIVAE_CHECKPOINT_WARN_MB={raw!r}",
+            stacklevel=4,
+        )
+        limit_mb = _CHECKPOINT_WARN_MB_DEFAULT
     if limit_mb <= 0:
         return
     total = 0
@@ -731,6 +738,13 @@ def clean_checkpoint_dir(
     pruned = {d: meta for d, meta in history.items() if d in kept}
     if prev or pruned:
         prev["history"] = pruned
+        # If this pass expired the manifest's own (latest-sweep) digest,
+        # drop the top-level identity too — _manifest_history would
+        # otherwise fold it back into the registry as {"ts": None} on the
+        # next write, permanently resurrecting an expired digest.
+        top = prev.get("digest")
+        if isinstance(top, str) and top[:12] not in kept:
+            prev.pop("digest", None)
         with open(os.path.join(checkpoint_dir, "manifest.json"), "w") as f:
             json.dump(prev, f)
     if deleted:
@@ -1036,6 +1050,12 @@ def train_sweep(
             raise ValueError(
                 "chunk_callback requires the chunked (non-mesh) path — the "
                 "mesh path runs as one sharded program with no chunks"
+            )
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir (and gc_stale_chunks) require the chunked "
+                "(non-mesh) path — the mesh path runs as one sharded "
+                "program with no chunk files to save, resume, or GC"
             )
         # Mesh mode: a single sharded program (chunking would fight the
         # member-axis sharding); pad members to the axis size. If the mesh

@@ -209,6 +209,11 @@ def build_train_fn(
                 f"{name!r} is not traceable per-run; allowed: "
                 f"{sorted(TRACEABLE_HYPER_FIELDS)}"
             )
+    if progress and mesh is not None:
+        raise ValueError(
+            "progress narration is not supported with mesh= (JAX rejects "
+            "ordered debug callbacks in multi-device programs)"
+        )
     if mesh is not None:
         n_dp = mesh.shape[dp_axis]
         if config.n_batch % n_dp or config.n_val % n_dp:
@@ -545,8 +550,18 @@ def train_model(
     Returns (trained params, logs).
     """
     if progress == "auto":
+        # Ordered debug callbacks are rejected by jit for multi-device
+        # computations, so auto never narrates a mesh-sharded run.
         progress = (
-            jax.default_backend() == "cpu" and config.n_iter >= 5000
+            mesh is None
+            and jax.default_backend() == "cpu"
+            and config.n_iter >= 5000
+        )
+    if progress and mesh is not None:
+        raise ValueError(
+            "progress narration is not supported with mesh= (JAX rejects "
+            "ordered debug callbacks in multi-device programs); pass "
+            "progress=False or drop the mesh"
         )
     if key is None:
         seed = config.seed if config.use_seed else np.random.randint(2**31 - 1)
@@ -563,15 +578,18 @@ def train_model(
         tuple(data_val[:3]),
         jnp.asarray(config.lambda_g0, jnp.float32),
     )
-    if mesh is None:
+    if mesh is None and not progress:
         # Disk-backed executable cache: a warm rerun of the same program
         # (same config/case/shapes/package source) skips trace+lower+
         # compile entirely (~1-2s load vs seconds-to-minutes). Default-on
         # only for locally-attached accelerators — see utils/aot.py.
+        # Narrated runs are excluded: distinct callbacks would collide on
+        # one cache key (callables can't be part of a disk digest), and a
+        # cached program would keep firing the first run's callback.
         from dpivae_tpu.utils import aot
 
         train_fn = aot.aot_get(
-            ("train_model", config, case.fingerprint(), unroll, bool(progress)),
+            ("train_model", config, case.fingerprint(), unroll),
             lambda: train_fn, args,
         )
     state, logs = train_fn(*args)

@@ -51,6 +51,20 @@ def run(files, extra):
     return proc.returncode, "".join(out_lines)
 
 
+_PROGRESS_LINE = re.compile(r"^[.FEsxX]+(\s+\[\s*\d+%\])?$")
+
+
+def crashed_segment_had_failures(output: str) -> bool:
+    """True if -q progress lines in a crashed (hence unreported) pytest
+    segment contain failure/error markers — those results would otherwise
+    be silently lost by resuming past them."""
+    return any(
+        ("F" in line or "E" in line)
+        for line in output.splitlines()
+        if _PROGRESS_LINE.match(line.strip())
+    )
+
+
 def main():
     argv = sys.argv[1:]
     picked = [a for a in argv if (REPO / a).exists()]
@@ -58,17 +72,27 @@ def main():
     files = [Path(p).as_posix() for p in picked] or test_files()
     remaining = list(files)
     resumes = 0
+    lost_failures = False
     while remaining:
         rc, out = run(remaining, extra)
-        if rc >= 0 and rc != 139:  # normal pytest exit (incl. failures)
-            return rc
-        # killed by a signal (rc<0 from Popen, or 139 via a shell layer):
-        # resume from the file that was executing (it passes on rerun)
+        if rc not in (-11, 139):  # not the XLA:CPU SIGSEGV flake:
+            # normal pytest exits (incl. test failures) AND other signal
+            # deaths (SIGKILL/OOM, SIGTERM, SIGINT) pass through — only
+            # the documented segfault flake is worth auto-resuming.
+            if rc < 0:
+                print(f"[run_tests] pytest killed by signal {-rc}; not "
+                      "the SIGSEGV flake — failing fast", file=sys.stderr)
+                return 128 - rc
+            return rc if not (rc == 0 and lost_failures) else 1
         resumes += 1
         if resumes > MAX_RESUMES:
             print(f"[run_tests] giving up after {MAX_RESUMES} resumes",
                   file=sys.stderr)
             return 139
+        if crashed_segment_had_failures(out):
+            # the crash threw away this segment's end-of-session failure
+            # report; keep going for coverage but do NOT exit 0
+            lost_failures = True
         crashed = last_test_file(out, remaining)
         idx = remaining.index(crashed) if crashed in remaining else 0
         print(
@@ -79,6 +103,13 @@ def main():
             file=sys.stderr,
         )
         remaining = remaining[idx:]
+    if lost_failures:
+        print(
+            "[run_tests] a crashed segment contained failure markers whose "
+            "report was lost — rerun those files; exiting nonzero",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

@@ -784,3 +784,63 @@ def test_data_sweep_checkpoint_resume_and_callback(tmp_path):
     for a, b in zip(jax.tree.leaves(res_c.params),
                     jax.tree.leaves(fresh_c.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_expired_latest_digest_stays_expired(tmp_path):
+    """max_age_days expiry of the manifest's OWN (latest-sweep) digest must
+    stick: later manifest reads/writes must not resurrect it into the
+    registry as a ts-None entry that is then exempt from every future
+    expiry pass."""
+    import json
+    import os
+
+    from dpivae_tpu.sweep import clean_checkpoint_dir
+    from dpivae_tpu.sweep.sweep import _manifest_history, _read_manifest
+
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    ckpt = str(tmp_path / "ck")
+    train_sweep(cfg, case, lambdas=[0.5, 0.0], n_runs=1,
+                key=jax.random.PRNGKey(0), chunk_size=1,
+                checkpoint_dir=ckpt)
+    path = os.path.join(ckpt, "manifest.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    latest = manifest["digest"][:12]
+    assert latest in manifest["history"]
+    manifest["history"][latest]["ts"] -= 10 * 86400
+    with open(path, "w") as f:
+        json.dump(manifest, f)
+
+    deleted = clean_checkpoint_dir(ckpt, max_age_days=5)
+    assert deleted, "backdated latest sweep's chunks must be GCed"
+    # the registry folding path must NOT bring the expired digest back
+    history = _manifest_history(_read_manifest(ckpt))
+    assert latest not in history
+    # and a second expiry pass stays clean (no ts-None resurrection)
+    assert clean_checkpoint_dir(ckpt, max_age_days=5) == []
+    assert latest not in _manifest_history(_read_manifest(ckpt))
+
+
+def test_mesh_path_rejects_checkpoint_dir(tmp_path):
+    """checkpoint_dir/gc_stale_chunks silently did nothing on the mesh
+    path (it runs as one sharded program, no chunks) — now they raise."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case)
+    mesh = make_mesh(2, axes=("sweep",))
+    with pytest.raises(ValueError, match="non-mesh"):
+        train_sweep(cfg, case, lambdas=[0.5, 0.0], n_runs=1,
+                    key=jax.random.PRNGKey(0), mesh=mesh,
+                    checkpoint_dir=str(tmp_path / "ck"))
+
+
+def test_checkpoint_warn_env_malformed(tmp_path, monkeypatch):
+    """A non-numeric DPIVAE_CHECKPOINT_WARN_MB must not crash sweeps —
+    the cosmetic size warning falls back to the default threshold."""
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_iter=10)
+    monkeypatch.setenv("DPIVAE_CHECKPOINT_WARN_MB", "512MB")
+    with pytest.warns(UserWarning, match="non-numeric"):
+        train_sweep(cfg, case, lambdas=[0.5], n_runs=1,
+                    key=jax.random.PRNGKey(0), chunk_size=1,
+                    checkpoint_dir=str(tmp_path / "ck"))

@@ -370,3 +370,33 @@ def test_progress_default_printer_writes_stderr(capfd):
     assert "iter 20/30" in err and "counter=" in err
     for a, b in zip(jax.tree.leaves(p_quiet), jax.tree.leaves(p_loud)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_progress_rejected_with_mesh():
+    """Ordered debug callbacks are rejected by jit on multi-device
+    programs, so progress + mesh must fail loudly at build time (and
+    progress="auto" must resolve False under a mesh instead of crashing
+    the documented CPU-mesh fallback)."""
+    from dpivae_tpu.parallel import make_mesh
+    from dpivae_tpu.train.train import build_train_fn
+
+    case, cfg, model, data_train, data_val = _setup(
+        n_iter=5000, val_freq=500, n_batch=16, n_val=32,
+        n_mc_train=2, n_mc_val=2,
+    )
+    mesh = make_mesh(2, axes=("dp",))
+    with pytest.raises(ValueError, match="progress"):
+        build_train_fn(cfg, case, mesh=mesh, progress=True)
+    with pytest.raises(ValueError, match="progress"):
+        train_model(cfg, model, case, data_train, data_val,
+                    key=jax.random.PRNGKey(0), mesh=mesh, progress=True)
+    # auto: on CPU at n_iter>=5000 a meshless run narrates, but a meshed
+    # run must resolve to False and train (regression: auto passed True
+    # and jit lowering crashed with "ordered effects are not supported
+    # for more than 1 device" — the documented CPU-mesh fallback of
+    # scripts 0-2 hit it at reference scale)
+    params, logs = train_model(
+        cfg, model, case, data_train, data_val,
+        key=jax.random.PRNGKey(0), mesh=mesh, unroll=False,
+    )
+    assert np.isfinite(np.asarray(logs.train)[..., 0]).all()
