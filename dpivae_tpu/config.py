@@ -122,10 +122,13 @@ class TrainConfig:
 
     # Framework extensions (no reference equivalent)
     # Fused pallas kernel for the data-driven decoder branch:
-    # False | True | "auto" ("auto" selects on the measured shape boundary
-    # from the scaling study — see ops/pallas_mlp.py:auto_select and
+    # False | True | "auto". The default "auto" selects the kernel only
+    # inside the measured-and-repeat-confirmed win band from the scaling
+    # study (65k decoder rows x hidden 256, full program 1.14x faster;
+    # everywhere else — including every reference shape — it resolves to
+    # the XLA path; see ops/pallas_mlp.py:auto_select and
     # benchmarks/results/scaling.json).
-    use_pallas: Any = False
+    use_pallas: Any = "auto"
     # Override EVERY MLP trunk width in the model (encoder trunk(s),
     # decoder_x hidden, prior nets, aux decoders). None keeps the
     # reference architecture (64/128 — ref cases/*/__init__.py presets);

@@ -102,33 +102,39 @@ def _reference_mlp(x, w0, b0, w1, b1):
 # Measured pallas-vs-XLA decision boundary for ``use_pallas="auto"``
 # (benchmarks/experiments/scaling.py; committed data in
 # benchmarks/results/scaling.json, measured on TPU v5e 2026-08-19).
-# Verdict: NO coherent win region exists. Kernel-level, XLA's automatic
-# fusion beats this kernel at every grid cell (ratios 0.38-1.0) except
-# fwd+bwd at rows=65536 x hidden>=512, where the kernel wins <=7.5% —
-# and at exactly those shapes the FULL train program measures ~1.0x
-# (w1024_b1024_mc64: 1.006), i.e. the win vanishes inside the program.
-# Full-program deltas elsewhere (0.61-1.15x) anti-correlate with the
-# kernel microbench (the program's best pallas cell is the kernel's
-# worst), so they are XLA scheduling variance, not kernel effects.
-# Hence "auto" resolves to the XLA path everywhere; the explicit
-# use_pallas=True knob remains for forks whose shapes differ.
-_AUTO_MIN_ROWS = None  # None -> no measured win region (see above)
-_AUTO_MIN_HIDDEN = None
+# Kernel-level, XLA's automatic fusion beats this kernel almost
+# everywhere (microbench ratios 0.38-1.0; tiny wins only for fwd+bwd at
+# rows=65536 x hidden>=512). But the FULL train program is reproducibly
+# ~14% FASTER with the kernel at decoder rows>=65536 x hidden=256
+# (w256_b1024_mc64: 1.149, repeat-confirmed 1.143/1.144 across fresh
+# compiles with the persistent cache disabled — scaling.json "repeats").
+# The win is not kernel-local (the microbench LOSES 2.6x at that exact
+# shape in isolation): routing the MLP through the custom call changes
+# XLA's surrounding fusion/layout decisions where the fused 65536x256
+# intermediate is pathological. Neighbors measure ~neutral-to-worse
+# (w128: 0.61, w512: 0.98, w1024: 1.006), so "auto" enables the kernel
+# ONLY inside the measured-win band below and keeps XLA elsewhere.
+_AUTO_MIN_ROWS = 65536
+_AUTO_MIN_HIDDEN = 256   # the measured-win band is exactly hidden 256:
+_AUTO_MAX_HIDDEN = 256   # >=512 measured ~1.0x, 128 measured 0.61x
 
 
 def auto_select(rows: int, d_in: int, d_hidden: int, d_out: int) -> bool:
     """Resolve ``use_pallas="auto"`` for a fused-MLP call shape.
 
-    Returns True only inside the region where the pallas kernel MEASURED
-    faster than XLA's fusion on the TPU (see module constants above); the
-    call-time ``_eligible`` fallback still guards non-TPU backends, so a
-    True here is safe everywhere.
+    Returns True only inside the band where the FULL train program
+    MEASURED (and repeat-confirmed) faster with the pallas kernel on the
+    TPU (see module constants above); the call-time ``_eligible``
+    fallback still guards non-TPU backends, so a True here is safe
+    everywhere.
     """
     if _AUTO_MIN_ROWS is None or _AUTO_MIN_HIDDEN is None:
         return False
     if d_hidden % 128:  # kernel-ineligible shape
         return False
-    return rows >= _AUTO_MIN_ROWS and d_hidden >= _AUTO_MIN_HIDDEN
+    return (rows >= _AUTO_MIN_ROWS
+            and _AUTO_MIN_HIDDEN <= d_hidden
+            and (_AUTO_MAX_HIDDEN is None or d_hidden <= _AUTO_MAX_HIDDEN))
 
 
 def _eligible(x, w0, w1) -> bool:

@@ -85,16 +85,17 @@ def export_predictor(model, params, config, case=None, *,
     """Export the predict path as a ``jax.export.Exported`` + meta dict.
 
     The batch dimension is symbolic — one artifact serves any request
-    size. ``model.use_pallas`` must be off (a Pallas TPU kernel cannot
-    lower for the CPU platform); the default model never sets it.
+    size. A ``use_pallas`` model is exported through the XLA decode path
+    (a Pallas TPU kernel cannot lower for the multi-platform artifact) —
+    numerically identical by the kernel's parity contract
+    (tests/test_pallas_model.py), so the artifact serves the same values.
     """
+    import dataclasses
+
     import jax.export as jex
 
     if getattr(model, "use_pallas", False):
-        raise ValueError(
-            "export_predictor requires use_pallas=False: a Pallas TPU "
-            "kernel cannot lower for the multi-platform artifact"
-        )
+        model = dataclasses.replace(model, use_pallas=False)
     predict = build_predict_fn(
         model, params, config, cond=cond, n=n, outputs=tuple(outputs)
     )

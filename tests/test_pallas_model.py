@@ -94,6 +94,15 @@ def test_use_pallas_auto_resolves_to_bool():
     # win region — auto must keep the XLA path there
     assert model.use_pallas is False
 
+    # the measured-win band (benchmarks/results/scaling.json, repeat-
+    # confirmed): decoder rows >= 65536 at hidden EXACTLY 256 — neighbors
+    # measured neutral-to-worse, so auto must stay off there
+    assert pallas_mlp.auto_select(65536, 4, 256, 32) is True
+    assert pallas_mlp.auto_select(65536, 4, 128, 32) is False  # 0.61x
+    assert pallas_mlp.auto_select(65536, 4, 512, 32) is False  # ~1.0x
+    assert pallas_mlp.auto_select(16384, 4, 256, 32) is False  # 0.86x
+    assert pallas_mlp.auto_select(65536, 4, 192, 32) is False  # not %128
+
     # the boundary constants drive the decision
     if pallas_mlp._HAS_PLTPU:
         old = pallas_mlp._AUTO_MIN_ROWS, pallas_mlp._AUTO_MIN_HIDDEN

@@ -274,3 +274,23 @@ def test_served_predictor_thread_safety(tmp_path):
         got = list(pool.map(job, specs * 3))
     for spec, y in zip(specs * 3, got):
         np.testing.assert_array_equal(y, want[spec])
+
+
+def test_use_pallas_model_exports_via_xla_path(tmp_path):
+    """A use_pallas model exports (the kernel cannot lower for the
+    multi-platform artifact) by swapping to the XLA decode path — value-
+    identical by the kernel's parity contract, so served outputs match a
+    plain model's artifact exactly. With use_pallas='auto' as the config
+    default, win-band models must stay exportable."""
+    import dataclasses
+
+    case, cfg, model, params, data_train = _model()
+    m_pallas = dataclasses.replace(model, use_pallas=True)
+    p_a = save_predictor(str(tmp_path / "a.shlo"), m_pallas, params, cfg,
+                         case, platforms=("cpu",))
+    p_b = save_predictor(str(tmp_path / "b.shlo"), model, params, cfg,
+                         case, platforms=("cpu",))
+    sa, sb = load_predictor(p_a), load_predictor(p_b)
+    x, c = np.asarray(data_train[0][:4]), np.asarray(data_train[1][:4])
+    np.testing.assert_array_equal(sa(x, c, seed=3)["y"],
+                                  sb(x, c, seed=3)["y"])
