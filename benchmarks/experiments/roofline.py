@@ -116,13 +116,15 @@ def _unroll_divisor(inner_len: int) -> int:
     return inner_len if inner_len <= _MAX_ANALYSIS_UNROLL else 1
 
 
-def step_cost(make_fn, args, inner_len):
+def step_cost(make_fn, args, inner_len, base_compiled=None):
     """Per-step (flops, bytes) by differencing two compiles of the same
     program at inner unroll u vs 1, where u divides the inner scan length
     (``inner_len`` = val_freq - 1: the block's first step + validation sit
     outside the inner scan). The unrolled body is counted once as u steps,
     so (cost(u) - cost(1)) / (u - 1) isolates one step; the val pass,
-    setup, and epilogue cancel exactly."""
+    setup, and epilogue cancel exactly. ``base_compiled`` lets callers
+    that already hold the (1,1)-unroll executable (the scaling study's
+    XLA timing arm) skip re-tracing it (~5-7s on this 1-core host)."""
     import jax
 
     u = _unroll_divisor(inner_len)
@@ -130,7 +132,10 @@ def step_cost(make_fn, args, inner_len):
         return None, None  # val_freq=2: nothing to difference
     costs = []
     for unroll in ((1, 1), (u, 1)):
-        compiled = jax.jit(make_fn(unroll)).lower(*args).compile()
+        if unroll == (1, 1) and base_compiled is not None:
+            compiled = base_compiled
+        else:
+            compiled = jax.jit(make_fn(unroll)).lower(*args).compile()
         f, b = cost_of(compiled)
         if f is None:
             return None, None

@@ -52,8 +52,7 @@ _spec = importlib.util.spec_from_file_location(
 _roofline = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_roofline)
 device_peaks = _roofline.device_peaks
-cost_of = _roofline.cost_of
-_unroll_divisor = _roofline._unroll_divisor
+step_cost = _roofline.step_cost
 
 WIDTHS = (128, 256, 512, 1024)
 BATCHES = (64, 256, 1024)
@@ -225,31 +224,32 @@ def train_config_row(case, cfg, peaks, inner_len, label):
         "decoder_rows": cfg.n_mc_train * cfg.n_batch,
     }
 
+    # Arms are EXPLICIT booleans: with use_pallas="auto" as the config
+    # default, building from the bare cfg would resolve the pallas path
+    # at exactly the win-band shapes and self-contaminate the study that
+    # feeds the auto band.
+    cfg_xla = cfg.replace(use_pallas=False)
+    cfg_pallas = cfg.replace(use_pallas=True)
+
     # Roofline point (XLA arm): per-step flops by dividing-unroll
-    # differencing (see roofline.step_cost for the method); inlined here
-    # so the unroll-(1,1) compile is REUSED as the XLA timing arm instead
-    # of re-tracing the identical program (~5-7s/row on this 1-core host).
+    # differencing (roofline.step_cost — the pinned original); the
+    # (1,1)-unroll base executable is passed in so it is REUSED as the
+    # XLA timing arm instead of re-tracing the identical program
+    # (~5-7s/row on this 1-core host).
     compiled_xla = jax.jit(
-        build_train_fn(cfg, case, unroll=(1, 1))
+        build_train_fn(cfg_xla, case, unroll=(1, 1))
     ).lower(*args).compile()
-    flops = nbytes = None
-    u = _unroll_divisor(inner_len)
-    f1, b1 = cost_of(compiled_xla)
-    if u >= 2 and f1 is not None:
-        fu, bu = cost_of(
-            jax.jit(build_train_fn(cfg, case, unroll=(u, 1)))
-            .lower(*args).compile()
-        )
-        if fu is not None:
-            flops = (fu - f1) / (u - 1)
-            nbytes = (bu - b1) / (u - 1)
+    flops, nbytes = step_cost(
+        lambda unroll: build_train_fn(cfg_xla, case, unroll=unroll),
+        args, inner_len, base_compiled=compiled_xla,
+    )
     row["flops_per_step"] = flops
     row["logical_bytes_per_step"] = nbytes
     if flops is not None and peaks:
         row["sol_step_mxu_s"] = flops / peaks["flops"]
 
     compiled_pallas = jax.jit(
-        build_train_fn(cfg.replace(use_pallas=True), case, unroll=(1, 1))
+        build_train_fn(cfg_pallas, case, unroll=(1, 1))
     ).lower(*args).compile()
     for arm, compiled in (("xla", compiled_xla), ("pallas", compiled_pallas)):
 

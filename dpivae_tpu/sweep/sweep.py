@@ -145,6 +145,7 @@ def train_hyper_sweep(
     Returns:
         HyperSweepResult ordered row-major over (grid row, run).
     """
+    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     fields = tuple(sorted(grid))
@@ -311,6 +312,7 @@ def export_member(
 
     Returns the (model, params) pair that was saved.
     """
+    config = _resolve_sweep_config(config)
     from dpivae_tpu.train.checkpoint import save_model
     from dpivae_tpu.train.setup import setup_model
 
@@ -344,6 +346,7 @@ def export_member_predictor(
 
     Returns the artifact path.
     """
+    config = _resolve_sweep_config(config)
     from dpivae_tpu.serving import save_predictor
     from dpivae_tpu.train.setup import setup_model
 
@@ -355,6 +358,21 @@ def export_member_predictor(
     params = jax.tree.map(np.asarray, result.member_params(i))
     cfg_i = config.replace(lambda_g0=float(np.asarray(result.lambdas[i])))
     return save_predictor(path, model, params, cfg_i, case, **export_kwargs)
+
+
+def _resolve_sweep_config(config: TrainConfig) -> TrainConfig:
+    """Resolve ``use_pallas="auto"`` to the XLA path for sweep programs.
+
+    The pallas win band (ops/pallas_mlp.py:auto_select) was measured on
+    the SINGLE-RUN train program; the vmapped member program folds the
+    member axis into the kernel's row dim and was never measured, so
+    "auto" stays on the XLA path everywhere in this module — member
+    builds, jit-cache keys, treedefs, exports, and the checkpoint
+    manifest digest all see the same resolved config. Explicit
+    ``use_pallas=True`` is honored as everywhere else."""
+    if config.use_pallas == "auto":
+        config = config.replace(use_pallas=False)
+    return config
 
 
 def build_member_fn(
@@ -372,6 +390,7 @@ def build_member_fn(
     each member's minibatches/validation pass carry ``dp_axis`` sharding
     constraints (combine with ``vmap(..., spmd_axis_name=member_axis)``
     for a 2-D members × data-parallel program)."""
+    config = _resolve_sweep_config(config)
     template = make_template_model(config, case)
     # unroll=False default: vmapped members are arithmetic-bound (not
     # scan-overhead-bound) and unrolling only multiplies compile time.
@@ -620,6 +639,11 @@ def _sweep_manifest(
     hold byte-identical value columns yet train different members)."""
     h = hashlib.sha256()
     h.update(repr(flavor).encode())
+    # Digest the RESOLVED use_pallas (_resolve_sweep_config): hashing the
+    # "auto" sentinel would only break resume compatibility — flipping
+    # the config default from False to "auto" must not orphan every
+    # pre-existing checkpoint dir.
+    config = _resolve_sweep_config(config)
     h.update(config.to_json().encode())
     h.update(case.fingerprint().encode())
     for a in arrays:
@@ -796,6 +820,7 @@ def _treedef_thunk(config: TrainConfig, case: Case):
     so a fresh run never pays the template init. Host CPU: the treedef is
     backend-independent structure, and an eager init on the tunneled TPU
     pays ~1s/op remote compile across the template's many init ops."""
+    config = _resolve_sweep_config(config)
     from dpivae_tpu.utils import on_host_cpu
 
     holder = []
@@ -1029,6 +1054,7 @@ def train_sweep(
         SweepResult with leading member axis ordered λ-major
         (member = i_lambda * n_runs + i_run).
     """
+    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     # Member grid bookkeeping is host work (the chunk loop slices keys and
@@ -1174,6 +1200,7 @@ def sweep_sample(
 
     Returns the stacked 9-tuple of model.sample outputs.
     """
+    config = _resolve_sweep_config(config)
     if key is None:
         key = jax.random.PRNGKey(0)
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
@@ -1229,6 +1256,7 @@ def sweep_predict_y(
     XLA never materializes them. With ``mesh``, the member axis is sharded
     over ``member_axis`` (n_members must divide the axis size evenly).
     """
+    config = _resolve_sweep_config(config)
     if key is None:
         key = jax.random.PRNGKey(0)
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
@@ -1290,6 +1318,7 @@ def sweep_disentanglement_latents(
     Returns a dict of stacked arrays with leading member axis:
     zx/zc/zy_{train,test} latents and z_{train,test} ground-truth factors.
     """
+    config = _resolve_sweep_config(config)
     if key is None:
         key = jax.random.PRNGKey(1)
     from dpivae_tpu.eval.evaluate import build_eval_sample_fn
@@ -1390,6 +1419,7 @@ def warm_disentanglement_latents(
     ``n_members``), so every compile the real call needs is already
     cached. Best-effort: any failure here only loses the warming.
     """
+    config = _resolve_sweep_config(config)
     from dpivae_tpu.utils import on_host_cpu
 
     with on_host_cpu():
@@ -1439,6 +1469,7 @@ def train_sweep_data(
     digest covers the per-member datasets too, so swapping datasets never
     resumes foreign chunks).
     """
+    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     lambdas = jnp.asarray(lambdas, jnp.float32)

@@ -126,7 +126,7 @@ def test_warm_disentanglement_latents_primes_cache():
         sweep_disentanglement_latents,
         warm_disentanglement_latents,
     )
-    from dpivae_tpu.sweep.sweep import _SWEEP_JIT_CACHE
+    from dpivae_tpu.sweep.sweep import _SWEEP_JIT_CACHE, _resolve_sweep_config
 
     case = get_case("simple_beam")
     cfg = _cfg(case)
@@ -134,7 +134,10 @@ def test_warm_disentanglement_latents_primes_cache():
     lat_ref = sweep_disentanglement_latents(
         cfg, case, res, n_train_reg=32, n_test_reg=24, chunk_size=2
     )
-    cache_key = ("disent_latents", cfg, case.fingerprint(), False, 1, 32, 24)
+    # jit-cache keys carry the sweep-resolved config (use_pallas="auto"
+    # resolves to the XLA path module-wide), so warm and real calls agree
+    cache_key = ("disent_latents", _resolve_sweep_config(cfg),
+                 case.fingerprint(), False, 1, 32, 24)
     sentinel = _SWEEP_JIT_CACHE.get(cache_key, lambda: None)
     assert sentinel is not None  # the real call populated this key ...
     warm_disentanglement_latents(cfg, case, 3, 32, 24, chunk_size=2)
@@ -147,6 +150,47 @@ def test_warm_disentanglement_latents_primes_cache():
         np.testing.assert_array_equal(
             np.asarray(lat_ref[k]), np.asarray(lat[k])
         )
+
+
+def test_sweep_use_pallas_auto_resolves_to_xla_path(tmp_path, monkeypatch):
+    """Inside sweeps use_pallas="auto" resolves to the XLA path: the
+    manifest digest equals the explicit-False digest (flipping the config
+    *default* from False to "auto" must not orphan pre-flip checkpoint
+    dirs), a False-written checkpoint resumes under "auto", and the
+    single-run decision band (ops.pallas_mlp.auto_select) is never
+    consulted by the member program."""
+    from dpivae_tpu.ops import pallas_mlp
+    from dpivae_tpu.sweep.sweep import _sweep_manifest
+
+    case = get_case("simple_beam")
+    arrays = [np.arange(4.0)]
+
+    def digest(use_pallas):
+        cfg = _cfg(case, use_pallas=use_pallas)
+        return _sweep_manifest(cfg, case, arrays, 4)["digest"]
+
+    assert digest("auto") == digest(False)
+    assert digest("auto") != digest(True)
+
+    # The sweep path must never consult the single-run measured band —
+    # it was measured on the single-run program, not the vmapped one.
+    def _boom(*a, **k):
+        raise AssertionError("auto_select consulted inside a sweep")
+
+    monkeypatch.setattr(pallas_mlp, "auto_select", _boom)
+
+    cfg = _cfg(case, n_iter=10, use_pallas=False)
+    key = jax.random.PRNGKey(3)
+    ckpt = str(tmp_path / "chunks")
+    res_false = train_sweep(cfg, case, lambdas=[1 / 256, 0.0], n_runs=1,
+                            key=key, chunk_size=1, checkpoint_dir=ckpt)
+    # same sweep under "auto": digest matches -> resumes the False chunks
+    res_auto = train_sweep(cfg.replace(use_pallas="auto"), case,
+                           lambdas=[1 / 256, 0.0], n_runs=1,
+                           key=key, chunk_size=1, checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(res_false.logs.train), np.asarray(res_auto.logs.train)
+    )
 
 
 def test_sweep_checkpoint_resume(tmp_path):
