@@ -135,6 +135,16 @@ class TrainConfig:
     # the scaling study (benchmarks/experiments/scaling.py) sweeps this.
     hidden_width: Optional[int] = None
 
+    def __post_init__(self):
+        # use_pallas is tri-state; anything else (e.g. the string "false"
+        # or "Auto" from a hand-edited config JSON) would silently pass
+        # bool(use_pallas) at model build and enable the kernel.
+        if self.use_pallas not in (False, True, "auto"):
+            raise ValueError(
+                f"use_pallas must be False, True or 'auto', got "
+                f"{self.use_pallas!r}"
+            )
+
     def with_preset(self, preset: Mapping[str, Any]) -> "TrainConfig":
         """Overlay a case preset dict, mirroring the reference's
         ``vars(args).update(preset)`` semantics (ref 0_single_run.py:39-44)."""

@@ -117,6 +117,36 @@ def _reference_mlp(x, w0, b0, w1, b1):
 _AUTO_MIN_ROWS = 65536
 _AUTO_MIN_HIDDEN = 256   # the measured-win band is exactly hidden 256:
 _AUTO_MAX_HIDDEN = 256   # >=512 measured ~1.0x, 128 measured 0.61x
+# The TPU generation the band was measured on. The win is a fusion/layout
+# artifact of THIS device's compiler/hardware pairing, so "auto" does not
+# assume it transfers: on a different device_kind auto_select warns once
+# and keeps the XLA path (explicit use_pallas=True remains available).
+_AUTO_DEVICE_KIND = "TPU v5 lite"
+_warned_device_kind: set = set()
+
+
+def _device_kind_matches() -> bool:
+    """True when the current backend's band measurement applies: non-TPU
+    backends pass through (``_eligible`` already keeps them on XLA, and
+    CPU unit tests exercise the band logic itself); a TPU of a different
+    generation gets a one-time warning and False."""
+    if jax.default_backend() != "tpu":
+        return True
+    kind = jax.devices()[0].device_kind
+    if kind == _AUTO_DEVICE_KIND:
+        return True
+    if kind not in _warned_device_kind:
+        _warned_device_kind.add(kind)
+        import warnings
+
+        warnings.warn(
+            f"use_pallas='auto': the measured win band was established on "
+            f"{_AUTO_DEVICE_KIND!r} but this device is {kind!r}; keeping "
+            f"the XLA path. Re-run benchmarks/experiments/scaling.py on "
+            f"this device and update ops/pallas_mlp.py's _AUTO_* constants "
+            f"(or set use_pallas=True explicitly) if the kernel wins here."
+        )
+    return False
 
 
 def auto_select(rows: int, d_in: int, d_hidden: int, d_out: int) -> bool:
@@ -124,17 +154,19 @@ def auto_select(rows: int, d_in: int, d_hidden: int, d_out: int) -> bool:
 
     Returns True only inside the band where the FULL train program
     MEASURED (and repeat-confirmed) faster with the pallas kernel on the
-    TPU (see module constants above); the call-time ``_eligible``
-    fallback still guards non-TPU backends, so a True here is safe
-    everywhere.
+    TPU generation named by ``_AUTO_DEVICE_KIND`` (see module constants
+    above); other TPU kinds fall back to XLA with a one-time warning, and
+    the call-time ``_eligible`` fallback still guards non-TPU backends,
+    so a True here is safe everywhere.
     """
     if _AUTO_MIN_ROWS is None or _AUTO_MIN_HIDDEN is None:
         return False
     if d_hidden % 128:  # kernel-ineligible shape
         return False
-    return (rows >= _AUTO_MIN_ROWS
-            and _AUTO_MIN_HIDDEN <= d_hidden
-            and (_AUTO_MAX_HIDDEN is None or d_hidden <= _AUTO_MAX_HIDDEN))
+    in_band = (rows >= _AUTO_MIN_ROWS
+               and _AUTO_MIN_HIDDEN <= d_hidden
+               and (_AUTO_MAX_HIDDEN is None or d_hidden <= _AUTO_MAX_HIDDEN))
+    return in_band and _device_kind_matches()
 
 
 def _eligible(x, w0, w1) -> bool:

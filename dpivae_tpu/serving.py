@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -86,15 +87,25 @@ def export_predictor(model, params, config, case=None, *,
 
     The batch dimension is symbolic — one artifact serves any request
     size. A ``use_pallas`` model is exported through the XLA decode path
-    (a Pallas TPU kernel cannot lower for the multi-platform artifact) —
-    numerically identical by the kernel's parity contract
-    (tests/test_pallas_model.py), so the artifact serves the same values.
+    (a Pallas TPU kernel cannot lower for the multi-platform artifact).
+    The two paths agree to the kernel's parity tolerance — rtol 1e-4 on
+    TPU (tests/test_pallas_model.py), not bit-identical — so served
+    values can differ from training-time decode outputs at that level; a
+    one-time warning marks the downgrade.
     """
     import dataclasses
 
     import jax.export as jex
 
     if getattr(model, "use_pallas", False):
+        warnings.warn(
+            "export_predictor: use_pallas=True model exported through the "
+            "XLA decode path (the Pallas TPU kernel cannot lower for a "
+            "multi-platform artifact); served values match training-time "
+            "decode to the kernel parity tolerance (rtol 1e-4 on TPU), "
+            "not bit-exactly.",
+            stacklevel=2,
+        )
         model = dataclasses.replace(model, use_pallas=False)
     predict = build_predict_fn(
         model, params, config, cond=cond, n=n, outputs=tuple(outputs)

@@ -102,7 +102,13 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
 
         # Resolve on the TRAINING shape of the one op the kernel covers —
         # the data-driven decoder branch runs on n_mc_train*n_batch rows
-        # inside the loss (models/vae.py decode path).
+        # inside the loss (models/vae.py decode path). Caveats (perf-only;
+        # numerics are guarded by the kernel parity contract): the
+        # resolved bool gates EVERY call site, so eval/sample paths at
+        # other row counts ride the same choice; and the band was
+        # measured on one case family on the device generation pinned in
+        # ops/pallas_mlp.py:_AUTO_DEVICE_KIND (auto_select falls back to
+        # XLA, with a one-time warning, on a different TPU kind).
         use_pallas = auto_select(
             rows=config.n_mc_train * config.n_batch,
             d_in=config.nz_c + config.nz_y,

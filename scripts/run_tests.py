@@ -94,11 +94,20 @@ def main():
             # report; keep going for coverage but do NOT exit 0
             lost_failures = True
         crashed = last_test_file(out, remaining)
-        idx = remaining.index(crashed) if crashed in remaining else 0
+        if crashed in remaining:
+            idx = remaining.index(crashed)
+            where = f"during {crashed}; resuming from it"
+        else:
+            # The crash point could not be identified from the output; the
+            # whole remaining segment reruns (already-passed files included)
+            # — say so instead of silently restarting, and let MAX_RESUMES
+            # bound the worst case (~45-60 min per full pass on this host).
+            idx = 0
+            where = (f"at an unidentified point; RERUNNING the whole "
+                     f"remaining segment of {len(remaining)} files")
         print(
             f"\n[run_tests] pytest died with rc={rc} (known XLA:CPU "
-            f"SIGSEGV flake, see CLAUDE.md) during {crashed or 'unknown'}; "
-            f"resuming from it in a fresh process "
+            f"SIGSEGV flake, see CLAUDE.md) {where} in a fresh process "
             f"({resumes}/{MAX_RESUMES})",
             file=sys.stderr,
         )

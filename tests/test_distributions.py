@@ -184,3 +184,28 @@ def test_config_json_roundtrip(tmp_path):
     path = str(tmp_path / "cfg.json")
     cfg.save_json(path)
     assert TrainConfig.from_json(path) == cfg
+
+
+def test_config_rejects_bad_use_pallas(tmp_path):
+    """use_pallas is tri-state {False, True, "auto"}; any other value
+    (e.g. the string "false" from a hand-edited JSON) must raise instead
+    of silently passing bool(use_pallas) at model build."""
+    import json
+
+    import pytest
+
+    for bad in ("false", "Auto", "yes", 2, None):
+        with pytest.raises(ValueError, match="use_pallas"):
+            TrainConfig(use_pallas=bad)
+        with pytest.raises(ValueError, match="use_pallas"):
+            TrainConfig().replace(use_pallas=bad)
+    # valid values (incl. via JSON round trip) pass
+    for ok in (False, True, "auto"):
+        assert TrainConfig(use_pallas=ok).use_pallas == ok
+    path = str(tmp_path / "bad.json")
+    blob = json.loads(TrainConfig().to_json())
+    blob["use_pallas"] = "false"
+    with open(path, "w") as f:
+        json.dump(blob, f)
+    with pytest.raises(ValueError, match="use_pallas"):
+        TrainConfig.from_json(path)

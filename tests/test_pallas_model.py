@@ -112,3 +112,44 @@ def test_use_pallas_auto_resolves_to_bool():
             assert m2.use_pallas is True
         finally:
             pallas_mlp._AUTO_MIN_ROWS, pallas_mlp._AUTO_MIN_HIDDEN = old
+
+
+def test_auto_select_guards_device_kind(monkeypatch):
+    """The auto band was measured on one TPU generation
+    (_AUTO_DEVICE_KIND); on a TPU of a different kind auto_select must
+    warn once and keep the XLA path, while the measured kind and non-TPU
+    backends keep the band decision."""
+    import types
+    import warnings
+
+    from dpivae_tpu.ops import pallas_mlp
+
+    in_band = (65536, 4, 256, 32)
+    monkeypatch.setattr(pallas_mlp.jax, "default_backend", lambda: "tpu")
+
+    fake = types.SimpleNamespace(device_kind="TPU v9 hypothetical")
+    monkeypatch.setattr(pallas_mlp.jax, "devices", lambda: [fake])
+    monkeypatch.setattr(pallas_mlp, "_warned_device_kind", set())
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert pallas_mlp.auto_select(*in_band) is False
+        assert pallas_mlp.auto_select(*in_band) is False  # warn once
+    warns = [w for w in rec if "auto" in str(w.message)]
+    assert len(warns) == 1
+    assert "TPU v9 hypothetical" in str(warns[0].message)
+
+    # matching kind: band decision stands, no warning
+    match = types.SimpleNamespace(device_kind=pallas_mlp._AUTO_DEVICE_KIND)
+    monkeypatch.setattr(pallas_mlp.jax, "devices", lambda: [match])
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert pallas_mlp.auto_select(*in_band) is True
+    assert not [w for w in rec if "auto" in str(w.message)]
+
+    # out-of-band shapes never consult the device (no warning either)
+    monkeypatch.setattr(pallas_mlp.jax, "devices", lambda: [fake])
+    monkeypatch.setattr(pallas_mlp, "_warned_device_kind", set())
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert pallas_mlp.auto_select(16384, 4, 256, 32) is False
+    assert not [w for w in rec if "auto" in str(w.message)]

@@ -215,9 +215,11 @@ def test_http_serving_host(tmp_path):
         assert status == 200
 
         # Concurrency: the host is a ThreadingHTTPServer and the predictor
-        # call is pure — N simultaneous requests (mixed batch sizes, so
-        # some race the first jit of a new shape) must all succeed and
-        # return exactly the single-client answer.
+        # call is pure — N simultaneous requests (mixed batch sizes) must
+        # all succeed and return exactly the single-client answer. (The
+        # want-building pass above already compiled all three batch
+        # shapes, so this phase exercises warm-path thread safety; the
+        # cold-jit race is covered by the in-process predictor test.)
         from concurrent.futures import ThreadPoolExecutor
 
         payloads = [
