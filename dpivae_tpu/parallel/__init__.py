@@ -14,6 +14,8 @@ is therefore at the levels where the reference is serial and slow
 """
 
 from dpivae_tpu.parallel.mesh import (  # noqa: F401
+    feed_process_local,
+    make_global_mesh,
     make_mesh,
     replicated,
     shard_batch,

@@ -52,12 +52,16 @@ def make_mesh(
             f"{jax.process_index()} of {jax.process_count()}): dpivae_tpu "
             "feeds whole host arrays into its jitted programs, which is "
             "incorrect under multi-controller JAX. A single v5e host "
-            "(8 chips) covers every shipped workload; for pod slices, "
-            "build a global-device Mesh and feed per-process shards via "
-            "jax.make_array_from_process_local_data (docs/PERFORMANCE.md "
+            "(8 chips) covers every shipped workload; for pod slices, use "
+            "parallel.make_global_mesh() and feed per-process shards with "
+            "parallel.feed_process_local() (docs/PERFORMANCE.md "
             "'Multi-host boundary')."
         )
     devices = jax.devices()[: n_devices or len(jax.devices())]
+    return _mesh_from_devices(devices, axes, shape)
+
+
+def _mesh_from_devices(devices, axes, shape) -> Mesh:
     if shape is None:
         shape = (len(devices),) if len(axes) == 1 else None
     if shape is None:
@@ -66,6 +70,56 @@ def make_mesh(
         raise ValueError(f"shape {shape} does not cover {len(devices)} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axes))
+
+
+def make_global_mesh(
+    axes: Sequence[str] = ("dp",), shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over ALL devices of the (possibly multi-process) job.
+
+    The pod-slice counterpart of ``make_mesh``: call
+    ``jax.distributed.initialize()`` on every process first, then this on
+    every process — ``jax.devices()`` returns the *global* device list
+    once initialized, so all processes build the identical mesh. Unlike
+    ``make_mesh`` there is no ``n_devices`` slice (a subset of a global
+    mesh would strand other processes' chips) and no single-host guard:
+    under one process this degenerates to ``make_mesh()`` over all local
+    devices.
+
+    Feed data with ``feed_process_local`` — under multi-controller JAX a
+    whole host array passed into a jitted program is no longer correct
+    (each process would contribute its own full copy).
+
+    The jitted programs themselves (``train.build_train_fn(mesh=...)``,
+    ``sweep.train_sweep(mesh=...)``) are already SPMD: sharding
+    annotations and XLA collectives do not change between the single- and
+    multi-host cases; only mesh construction and array feeding do.
+    """
+    return _mesh_from_devices(jax.devices(), axes, shape)
+
+
+def feed_process_local(sharding, host_array):
+    """Build a global device array from each process's LOCAL shard.
+
+    ``sharding`` is a ``NamedSharding`` (e.g. ``NamedSharding(mesh,
+    P("dp"))``) over a ``make_global_mesh()`` mesh; ``host_array`` is
+    this process's contiguous slice of the global batch/member axis —
+    global_shape[0] / process_count rows per process, in process order.
+    Returns a committed ``jax.Array`` with the GLOBAL shape that jitted
+    programs accept under multi-controller JAX.
+
+    Thin, tested wrapper over ``jax.make_array_from_process_local_data``
+    (single-process it equals a plain ``device_put``, pinned by
+    tests/test_parallel.py); exists so the docs/PERFORMANCE.md pod-slice
+    recipe is two library calls instead of hand-written array plumbing::
+
+        mesh = parallel.make_global_mesh(("sweep", "dp"), shape=(4, 4))
+        sh = NamedSharding(mesh, P("dp"))
+        batch = parallel.feed_process_local(sh, local_rows)
+    """
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(host_array)
+    )
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "dp"):

@@ -141,3 +141,62 @@ def test_make_mesh_rejects_multihost(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     with pytest.raises(NotImplementedError, match="single-host only"):
         make_mesh(1)
+
+
+def test_make_global_mesh_and_feed_process_local():
+    """The pod-slice recipe as code (docs/PERFORMANCE.md 'Multi-host
+    boundary'): under one process make_global_mesh covers all devices and
+    feed_process_local equals a plain device_put (local shard == global
+    array), verified by running a real sharded train step on it."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dpivae_tpu.parallel import feed_process_local, make_global_mesh
+
+    mesh = make_global_mesh(("dp",))
+    assert mesh.devices.shape == (len(jax.devices()),)
+    mesh2 = make_global_mesh(("sweep", "dp"), shape=(2, 4))
+    assert mesh2.shape == {"sweep": 2, "dp": 4}
+
+    case = get_case("simple_beam")
+    n = 32
+    cfg = TrainConfig().with_preset(case.presets["dpivae"]).replace(
+        n_train=n, n_batch=n, n_mc_train=2, use_seed=True
+    )
+    data = sample_response(case, jax.random.PRNGKey(0), n,
+                           sample_dist=case.gt_dist())
+    model = setup_model(cfg, case, data)
+    params = model.init(jax.random.PRNGKey(1))
+    batch = tuple(np.asarray(a) for a in data[:3])
+
+    step_fn, init_fn, place = sharded_train_step(cfg, model, case, mesh)
+    p_sh, batch_ref = place(params, batch)
+    sh = NamedSharding(mesh, P("dp"))
+    batch_fed = tuple(feed_process_local(sh, a) for a in batch)
+    for fed, ref in zip(batch_fed, batch_ref):
+        assert fed.shape == ref.shape
+        assert fed.sharding.is_equivalent_to(ref.sharding, fed.ndim)
+        np.testing.assert_array_equal(np.asarray(fed), np.asarray(ref))
+
+    key = jax.random.PRNGKey(2)
+    lam = float(cfg.lambda_g0)
+    opt = init_fn(p_sh)
+    _, _, loss_fed = step_fn(p_sh, opt, key, batch_fed, lam)
+    _, _, loss_ref = step_fn(p_sh, opt, key, batch_ref, lam)
+    np.testing.assert_allclose(float(loss_fed), float(loss_ref), rtol=1e-6)
+
+
+def test_make_global_mesh_allowed_where_make_mesh_refuses(monkeypatch):
+    """Guard interplay: under (mocked) multi-controller JAX, make_mesh
+    refuses and its message points at the global-mesh recipe, while
+    make_global_mesh builds over jax.devices() — the global list once
+    jax.distributed.initialize has run."""
+    import pytest
+
+    from dpivae_tpu.parallel import make_global_mesh
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(NotImplementedError, match="make_global_mesh"):
+        make_mesh(1)
+    mesh = make_global_mesh(("dp",))
+    assert mesh.devices.shape == (len(jax.devices()),)
