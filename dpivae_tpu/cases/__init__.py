@@ -69,10 +69,26 @@ class Surrogate:
     scaler_scale: np.ndarray
 
     def __call__(self, z):
+        """Compute follows the input dtype: a bf16 decode path
+        (models/vae.py compute_dtype) hands bf16 latents through here and
+        the frozen weights/scaler cast to match at trace time — otherwise
+        f32 numpy constants would silently promote everything back to f32
+        and the surrogate (the widest block at scaled shapes) would stay
+        full-precision. f32 input (the default everywhere) is a no-op."""
+        import jax
+
         from dpivae_tpu.models.nn import mlp_apply
 
-        z = (z - self.scaler_mean) / self.scaler_scale
-        return mlp_apply(self.params, z, nonlinearity=jnp.tanh)
+        dt = jnp.result_type(z)
+        if not jnp.issubdtype(dt, jnp.floating):
+            dt = jnp.float32
+        params = self.params
+        if dt != jnp.float32:
+            params = jax.tree.map(lambda a: jnp.asarray(a, dt), params)
+        z = (z - jnp.asarray(self.scaler_mean, dt)) / jnp.asarray(
+            self.scaler_scale, dt
+        )
+        return mlp_apply(params, z, nonlinearity=jnp.tanh)
 
 
 @dataclasses.dataclass(frozen=True)

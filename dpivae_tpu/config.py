@@ -134,6 +134,18 @@ class TrainConfig:
     # reference architecture (64/128 — ref cases/*/__init__.py presets);
     # the scaling study (benchmarks/experiments/scaling.py) sweeps this.
     hidden_width: Optional[int] = None
+    # Mixed precision for the DECODE path (the decoder/physics MLPs over
+    # n_mc*n_batch rows — where all the bytes are at scaled shapes, see
+    # benchmarks/results/scaling.json): None keeps f32 everywhere (the
+    # reference-parity default); "bfloat16" casts the decode-path params
+    # and latents to bf16 for the forward/backward and returns f32
+    # outputs to the loss (params/optimizer/encoder/MVN stay f32).
+    compute_dtype: Optional[str] = None
+    # Rematerialize the decode path (jax.checkpoint): the backward pass
+    # recomputes the (n_mc*n_batch, width) decoder/physics activations
+    # instead of reading them back from HBM — a bytes-for-FLOPs trade
+    # that pays exactly where the scaling grid is HBM-bound.
+    remat_decode: bool = False
 
     def __post_init__(self):
         # use_pallas is tri-state; anything else (e.g. the string "false"
@@ -143,6 +155,21 @@ class TrainConfig:
             raise ValueError(
                 f"use_pallas must be False, True or 'auto', got "
                 f"{self.use_pallas!r}"
+            )
+        if self.compute_dtype not in (None, "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be None or 'bfloat16', got "
+                f"{self.compute_dtype!r}"
+            )
+        if self.compute_dtype is not None and self.use_pallas is True:
+            # The pallas kernel's parity contract and win band were
+            # measured in f32; mixing it with a bf16 decode path would
+            # silently change both. Resolve one or the other explicitly.
+            raise ValueError(
+                "compute_dtype='bfloat16' is not supported together with "
+                "use_pallas=True (the kernel band was measured in f32); "
+                "set use_pallas=False or 'auto' (auto resolves to the XLA "
+                "path when compute_dtype is set)"
             )
 
     def with_preset(self, preset: Mapping[str, Any]) -> "TrainConfig":

@@ -82,6 +82,16 @@ class DPIVAE:
     jitter: float = 1e-6
     # Opt-in pallas fused kernel for the data-driven decoder branch
     use_pallas: bool = False
+    # Mixed precision for the decode path: None (f32, the parity default)
+    # or "bfloat16" — decoder/physics MLPs run in bf16 over the
+    # n_mc*n_batch rows, outputs return to f32 for the loss. Encoder,
+    # MVN sampling/log-probs, reductions and params stay f32 (gradients
+    # accumulate in f32 through the casts). See config.TrainConfig.
+    compute_dtype: Optional[str] = None
+    # Rematerialize decode in the backward pass (jax.checkpoint around
+    # the decoder/physics MLPs): trades recompute FLOPs for the HBM
+    # round-trip of the (n_mc*n_batch, width) saved activations.
+    remat_decode: bool = False
 
     def __post_init__(self):
         if self.model_type not in ("P", "S"):
@@ -228,18 +238,45 @@ class DPIVAE:
         return zx, zc, zy, dens_z
 
     def decode(self, params, zx_in, zc, zy, grl_alpha=None):
-        """(ref: models/vae.py:153-158)"""
+        """(ref: models/vae.py:153-158)
+
+        With ``remat_decode`` the whole decode is a ``jax.checkpoint``
+        region: the backward pass recomputes the (rows, width) decoder/
+        physics activations from the (tiny) latents instead of reading
+        them back from HBM. With ``compute_dtype`` the decoder params and
+        latents are cast for the MLP math and the outputs return to f32
+        (see the field docs above; both are exact no-ops at defaults).
+        """
+        fn = self._decode_impl
+        if self.remat_decode:
+            fn = jax.checkpoint(fn)
+        return fn(params, zx_in, zc, zy, grl_alpha)
+
+    def _decode_impl(self, params, zx_in, zc, zy, grl_alpha):
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        dec_x = params["decoder_x"]
+        dec_c = params["decoder_c"]
+        dec_y = params["decoder_y"]
+        if dt is not None:
+            cast = lambda t: jax.tree.map(lambda a: jnp.asarray(a, dt), t)
+            dec_x, dec_c, dec_y = cast(dec_x), cast(dec_c), cast(dec_y)
+            zx_in = jnp.asarray(zx_in, dt)
+            zc = jnp.asarray(zc, dt)
+            zy = jnp.asarray(zy, dt)
         xh_p, xh_d = decoders.grad_rev_additive_apply(
-            params["decoder_x"],
+            dec_x,
             zx_in,
             jnp.concatenate((zc, zy), axis=-1),
             self.physics_model,
             grl_alpha=grl_alpha,
             use_pallas=self.use_pallas,
         )
-        yh, log_sigma_y = decoders.decoder_apply(params["decoder_y"], zy, self.nd_y)
-        ch, log_sigma_c = decoders.decoder_apply(params["decoder_c"], zc, self.nd_c)
-        return xh_p, xh_d, ch, log_sigma_c, yh, log_sigma_y
+        yh, log_sigma_y = decoders.decoder_apply(dec_y, zy, self.nd_y)
+        ch, log_sigma_c = decoders.decoder_apply(dec_c, zc, self.nd_c)
+        out = (xh_p, xh_d, ch, log_sigma_c, yh, log_sigma_y)
+        if dt is not None:
+            out = tuple(jnp.asarray(a, jnp.float32) for a in out)
+        return out
 
     def forward(self, params, key, x, c, cond: bool = False, n: int = 1, grl_alpha=None):
         """Full forward pass (ref: models/vae.py:160-175)."""

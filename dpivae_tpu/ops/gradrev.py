@@ -29,7 +29,10 @@ def _grad_reverse_fwd(x, alpha):
 
 
 def _grad_reverse_bwd(alpha, g):
-    return (-g * alpha, None)
+    # The cotangent must keep the primal's dtype (a bf16 decode path —
+    # models/vae.py compute_dtype — hands bf16 cotangents through here
+    # while alpha stays f32; the scale happens in the promoted dtype).
+    return ((-g * alpha).astype(g.dtype), None)
 
 
 grad_reverse.defvjp(_grad_reverse_fwd, _grad_reverse_bwd)

@@ -97,6 +97,12 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         )
 
     use_pallas = config.use_pallas
+    if use_pallas == "auto" and config.compute_dtype is not None:
+        # The kernel's win band and parity contract were measured in f32;
+        # a bf16 decode path is a different program. XLA path it is.
+        # (Explicit use_pallas=True + compute_dtype already raised in
+        # TrainConfig.__post_init__.)
+        use_pallas = False
     if use_pallas == "auto":
         from dpivae_tpu.ops.pallas_mlp import auto_select
 
@@ -140,6 +146,8 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         transform_y=transform_y,
         output_transform_zx=output_transform_zx,
         use_pallas=bool(use_pallas),
+        compute_dtype=config.compute_dtype,
+        remat_decode=config.remat_decode,
         **widths,
     )
 
