@@ -114,6 +114,13 @@ def _reference_mlp(x, w0, b0, w1, b1):
 # intermediate is pathological. Neighbors measure ~neutral-to-worse
 # (w128: 0.61, w512: 0.98, w1024: 1.006), so "auto" enables the kernel
 # ONLY inside the measured-win band below and keeps XLA elsewhere.
+# The grid's four single-shot NEIGHBOR "wins" outside the band
+# (w512_b256_mc16 1.058, w1024_b256_mc16 1.067, w1024_b1024_mc16 1.047,
+# w512_b64_mc64 1.029) were put through the same fresh-process,
+# cache-disabled repeat protocol on 2026-08-20 and are NOISE: repeats
+# span 0.850-1.119 with per-cell means 0.89-1.04 (scaling.json
+# "repeats"). Single-shot grid ratios carry ~+-10% compile noise; only
+# the repeat-confirmed band below is trusted, and it stays as-is.
 _AUTO_MIN_ROWS = 65536
 _AUTO_MIN_HIDDEN = 256   # the measured-win band is exactly hidden 256:
 _AUTO_MAX_HIDDEN = 256   # >=512 measured ~1.0x, 128 measured 0.61x
