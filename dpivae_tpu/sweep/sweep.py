@@ -363,13 +363,19 @@ def export_member_predictor(
 def _resolve_sweep_config(config: TrainConfig) -> TrainConfig:
     """Resolve ``use_pallas="auto"`` to the XLA path for sweep programs.
 
-    The pallas win band (ops/pallas_mlp.py:auto_select) was measured on
-    the SINGLE-RUN train program; the vmapped member program folds the
-    member axis into the kernel's row dim and was never measured, so
-    "auto" stays on the XLA path everywhere in this module — member
-    builds, jit-cache keys, treedefs, exports, and the checkpoint
-    manifest digest all see the same resolved config. Explicit
-    ``use_pallas=True`` is honored as everywhere else."""
+    MEASURED (benchmarks/experiments/sweep_pallas.py; committed data in
+    benchmarks/results/sweep_pallas.json, TPU v5e 2026-08-20): the actual
+    vmapped chunk program (``jax.vmap(build_member_fn)``) runs the kernel
+    arm 0.53-0.77x AT EVERY CELL of member-chunk {11, 22, 64} x
+    hidden_width {reference, 256, 512} — including 64 members x 1024
+    rows x hidden 256, the exact effective-row shape of the single-run
+    win band. Under vmap the member axis is a batch dimension over the
+    custom call, not a fold into one large matmul, so the band's
+    fusion/layout win never materializes. "auto" therefore stays on the
+    XLA path everywhere in this module — member builds, jit-cache keys,
+    treedefs, exports, and the checkpoint manifest digest all see the
+    same resolved config. Explicit ``use_pallas=True`` is honored as
+    everywhere else (that is the arm the experiment times)."""
     if config.use_pallas == "auto":
         config = config.replace(use_pallas=False)
     return config
