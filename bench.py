@@ -22,7 +22,7 @@ they would not move if only the single-run path stayed healthy:
   with the device-attach phase excluded (environment, not workload; see
   CLAUDE.md). The reference runs this study serially in ≥7.6 h.
 - ``scale_w512_b256_mc16_steps_per_sec``: one MXU-loaded cell of the
-  scaling grid (hidden_width 512, batch 256, 16 MC — ~23% MXU, 500
+  scaling grid (hidden_width 512, batch 256, 16 MC — ~11% MXU, 500
   iters ≈ 0.3 s device time; see benchmarks/results/scaling.json). The
   headline/sweep/study numbers are all latency-bound reference-scale
   programs (MXU 0.5-1.9%); this cell certifies the scaled regime the
