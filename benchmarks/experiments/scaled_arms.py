@@ -14,22 +14,31 @@ defaults, see tests/test_precision.py):
 - ``remat_decode=True``: jax.checkpoint around decode — the backward
   recomputes the (rows, width) activations instead of reading them back
   from HBM (bytes-for-FLOPs at exactly the byte-bound cells).
+- ``mc_chunk=k``: lax.scan the decode over equal MC chunks so the
+  per-chunk (k*n_batch, width) working set stays VMEM-resident — the
+  direct counter-move to the diagnosed residency cliff (the mc64 collapse
+  is matmul->matmul edges spilling to HBM, not a bandwidth squeeze).
 
-Four arms per cell — f32 (the committed-grid baseline), bf16, remat,
-bf16+remat — at the roof cells plus the mc16 collapse anchors; all arms run
-``use_pallas=False`` so dtype/remat effects are isolated from the kernel
-band. Per arm: steady-state steps/s (same protocol as the grid: compiled
-(1,1)-unroll, warmup, best-of-3 at n_iter=500) and the executable's
-``memory_analysis`` (temp/argument/output bytes — the temp figure is the
-XLA buffer assignment's actual HBM scratch, the direct witness of which
+Arms per cell — f32 (the committed-grid baseline), bf16, remat,
+bf16+remat, mc8/mc16 chunking and mc8+bf16 — at the roof cells plus the
+mc16 collapse anchors; all arms run ``use_pallas=False`` so the effects
+are isolated from the kernel band. Chunk arms whose mc_chunk >= the
+cell's n_mc_train are no-ops and are skipped. Per arm: steady-state
+steps/s (same protocol as the grid: compiled (1,1)-unroll, warmup,
+best-of-3 at n_iter=500) and the executable's ``memory_analysis``
+(temp/argument/output bytes — the temp figure is the XLA buffer
+assignment's actual HBM scratch, the direct witness of which
 intermediates materialize). For the collapse diagnosis the f32 arms also
 dump the largest buffer shapes from the optimized HLO, naming what spills.
 
-Writes benchmarks/results/scaled_arms.json incrementally.
+Writes benchmarks/results/scaled_arms.json incrementally, MERGING into an
+existing file per cell+arm (a later arms-only run never drops committed
+rows; speedup_vs_f32 is recomputed against the merged cell's f32 row).
 
 Usage:
     python benchmarks/experiments/scaled_arms.py            # full (TPU)
     python benchmarks/experiments/scaled_arms.py --cells w512_b1024_mc64
+    python benchmarks/experiments/scaled_arms.py --arms f32 mc8 mc16
 """
 
 import argparse
@@ -73,6 +82,9 @@ ARMS = {
     "bf16": {"compute_dtype": "bfloat16"},
     "remat": {"remat_decode": True},
     "bf16_remat": {"compute_dtype": "bfloat16", "remat_decode": True},
+    "mc8": {"mc_chunk": 8},
+    "mc16": {"mc_chunk": 16},
+    "mc8_bf16": {"mc_chunk": 8, "compute_dtype": "bfloat16"},
 }
 
 _SHAPE_RE = re.compile(r"\b(f32|bf16|f16|s32|u32|pred|s8|u8)\[([0-9,]+)\]")
@@ -131,7 +143,8 @@ def memory_analysis_dict(compiled):
     return out
 
 
-def measure_cell(base_case, base_cfg, label, peaks, dump_hlo, n_time_reps=3):
+def measure_cell(base_case, base_cfg, label, peaks, dump_hlo, n_time_reps=3,
+                 arms=None):
     import jax
 
     from dpivae_tpu.train.train import build_train_fn, make_train_key
@@ -167,7 +180,10 @@ def measure_cell(base_case, base_cfg, label, peaks, dump_hlo, n_time_reps=3):
         _, logs = out
         return float(np.asarray(logs.train[-1, 0]))
 
-    for arm, overrides in ARMS.items():
+    for arm in (arms if arms is not None else list(ARMS)):
+        overrides = ARMS[arm]
+        if overrides.get("mc_chunk") and overrides["mc_chunk"] >= mc:
+            continue  # chunking is a no-op at this cell's n_mc_train
         cfg_arm = cfg.replace(use_pallas=False, **overrides)
         t_c0 = time.perf_counter()
         compiled = jax.jit(
@@ -194,19 +210,49 @@ def measure_cell(base_case, base_cfg, label, peaks, dump_hlo, n_time_reps=3):
         cell["arms"][arm] = row
         print(json.dumps({label: {arm: row}}), flush=True)
 
-    f32 = cell["arms"]["f32"]["steps_per_sec"]
-    for arm in ARMS:
-        cell["arms"][arm]["speedup_vs_f32"] = round(
-            cell["arms"][arm]["steps_per_sec"] / f32, 3)
+    _recompute_speedups(cell)
     return cell
+
+
+def _recompute_speedups(cell):
+    """speedup_vs_f32 for every arm present, against the cell's f32 row
+    (after a merge the f32 row may come from a different run)."""
+    f32 = cell.get("arms", {}).get("f32", {}).get("steps_per_sec")
+    if not f32:
+        return
+    for row in cell["arms"].values():
+        if "steps_per_sec" in row:
+            row["speedup_vs_f32"] = round(row["steps_per_sec"] / f32, 3)
+
+
+def merge_results(old, new):
+    """Merge a run's cells into an existing results file: arms union per
+    cell (new wins per arm), unknown old cells kept, new meta wins."""
+    by_cfg = {c.get("config"): dict(c) for c in old.get("cells", [])}
+    for cell in new.get("cells", []):
+        prev = by_cfg.get(cell.get("config"))
+        if prev and "arms" in prev and "arms" in cell:
+            arms = dict(prev["arms"])
+            arms.update(cell["arms"])
+            merged = {**prev, **cell, "arms": arms}
+        else:
+            merged = dict(cell)
+        _recompute_speedups(merged)
+        by_cfg[cell.get("config")] = merged
+    return {"meta": new.get("meta", old.get("meta")),
+            "cells": list(by_cfg.values())}
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cells", nargs="+", default=list(CELLS))
+    ap.add_argument("--arms", nargs="+", default=None, choices=list(ARMS),
+                    help="subset of arms to (re)measure (default: all)")
     ap.add_argument("--n_iter", type=int, default=500)
     ap.add_argument("--case", default="simple_beam")
     ap.add_argument("--skip-hlo", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="overwrite --out instead of merging into it")
     ap.add_argument("--out", default="benchmarks/results/scaled_arms.json")
     args = ap.parse_args()
 
@@ -238,16 +284,21 @@ def main():
     }
 
     def flush():
+        out = result
+        if not args.fresh and os.path.exists(args.out):
+            with open(args.out) as f:
+                out = merge_results(json.load(f), result)
         if os.path.dirname(args.out):
             os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(out, f, indent=1)
 
     for label in args.cells:
         try:
             result["cells"].append(measure_cell(
                 base_case, base_cfg, label,
                 result["meta"]["peaks"], dump_hlo=not args.skip_hlo,
+                arms=args.arms,
             ))
         except Exception as e:
             print(f"[scaled_arms] {label} failed: {e}", file=sys.stderr,

@@ -146,6 +146,17 @@ class TrainConfig:
     # instead of reading them back from HBM — a bytes-for-FLOPs trade
     # that pays exactly where the scaling grid is HBM-bound.
     remat_decode: bool = False
+    # Chunk the MC axis of the LOSS's decode (lax.scan over chunks of
+    # mc_chunk samples, exact mean-of-sums): the diagnosed mc64 collapse
+    # (docs/PERFORMANCE.md "The MC-axis collapse") is a VMEM residency
+    # cliff — the (n_mc*n_batch, width) decode activations outgrow VMEM
+    # and every matmul->matmul edge becomes an HBM round-trip. Chunking
+    # keeps the per-chunk working set resident. None (default) keeps the
+    # single-shot decode; when set it must divide n_mc_train and
+    # n_mc_val (it chunks both the train and validation loss; forward/
+    # sample/eval paths are untouched). Composes with compute_dtype and
+    # remat_decode.
+    mc_chunk: Optional[int] = None
 
     def __post_init__(self):
         # use_pallas is tri-state; anything else (e.g. the string "false"
@@ -161,6 +172,20 @@ class TrainConfig:
                 f"compute_dtype must be None or 'bfloat16', got "
                 f"{self.compute_dtype!r}"
             )
+        if self.mc_chunk is not None:
+            if not isinstance(self.mc_chunk, int) or self.mc_chunk <= 0:
+                raise ValueError(
+                    f"mc_chunk must be None or a positive int, got "
+                    f"{self.mc_chunk!r}"
+                )
+            for fname in ("n_mc_train", "n_mc_val"):
+                v = getattr(self, fname)
+                if self.mc_chunk < v and v % self.mc_chunk:
+                    raise ValueError(
+                        f"mc_chunk={self.mc_chunk} must divide "
+                        f"{fname}={v} (the loss scans over equal MC "
+                        f"chunks; unequal tails would bias the MC mean)"
+                    )
         if self.compute_dtype is not None and self.use_pallas is True:
             # The pallas kernel's parity contract and win band were
             # measured in f32; mixing it with a bf16 decode path would

@@ -92,6 +92,13 @@ class DPIVAE:
     # the decoder/physics MLPs): trades recompute FLOPs for the HBM
     # round-trip of the (n_mc*n_batch, width) saved activations.
     remat_decode: bool = False
+    # Chunk the MC axis of the LOSS's decode: lax.scan over n/mc_chunk
+    # chunks so the per-chunk (mc_chunk*n_batch, width) working set stays
+    # VMEM-resident past the mc64 residency cliff (docs/PERFORMANCE.md
+    # "The MC-axis collapse"). Exact (equal chunks, mean-of-sums); the
+    # encoder/KL run on the full MC axis (tiny latents), only the decode
+    # and reconstruction terms scan. forward/sample are untouched.
+    mc_chunk: Optional[int] = None
 
     def __post_init__(self):
         if self.model_type not in ("P", "S"):
@@ -278,8 +285,10 @@ class DPIVAE:
             out = tuple(jnp.asarray(a, jnp.float32) for a in out)
         return out
 
-    def forward(self, params, key, x, c, cond: bool = False, n: int = 1, grl_alpha=None):
-        """Full forward pass (ref: models/vae.py:160-175)."""
+    def _encode_latents(self, params, key, x, c, cond: bool, n: int):
+        """Shared encode half of ``forward``: latents, their density, and
+        the decoder_x input with physical covariates concatenated
+        (ref: models/vae.py:160-172)."""
         k_enc, k_prior = jax.random.split(key)
         x_t, c_t, _ = self.transform_inputs(x=x, c=c)
         zx, zc, zy, dens_z = self.encode(params, k_enc, x_t, n=n)
@@ -298,7 +307,11 @@ class DPIVAE:
             zx_in = jnp.concatenate((zx, c_phys), axis=-1)
         else:
             zx_in = zx
+        return zx, zc, zy, dens_z, zx_in
 
+    def forward(self, params, key, x, c, cond: bool = False, n: int = 1, grl_alpha=None):
+        """Full forward pass (ref: models/vae.py:160-175)."""
+        zx, zc, zy, dens_z, zx_in = self._encode_latents(params, key, x, c, cond, n)
         xh_p, xh_d, ch, log_sigma_c, yh, log_sigma_y = self.decode(
             params, zx_in, zc, zy, grl_alpha=grl_alpha
         )
@@ -327,7 +340,23 @@ class DPIVAE:
 
         Returns the same 8-tuple as the reference:
         (loss, KL_x, KL_c, KL_y, R_x, R_c, R_y, reg), each of shape (batch,).
+
+        With ``mc_chunk`` set (and < n) the decode + reconstruction terms
+        scan over equal MC chunks instead of one (n*batch)-row shot — an
+        exact reassociation of the MC means (sum-of-chunk-sums / n) that
+        keeps the decode working set VMEM-resident past the mc64
+        residency cliff. n must be a multiple of mc_chunk.
         """
+        if self.mc_chunk is not None and self.mc_chunk < n:
+            if n % self.mc_chunk:
+                raise ValueError(
+                    f"mc_chunk={self.mc_chunk} must divide the MC sample "
+                    f"count n={n} (equal chunks keep the MC mean exact)"
+                )
+            return self._loss_mc_chunked(
+                params, key, x, c, y, n, beta_x, beta_c, beta_y,
+                alpha_x, alpha_c, alpha_y, grl_alpha,
+            )
         xh_p, xh_d, ch, log_sigma_c, yh, log_sigma_y, zx, zc, zy, dens_z = (
             self.forward(params, key, x, c=c, cond=False, n=n, grl_alpha=grl_alpha)
         )
@@ -364,6 +393,74 @@ class DPIVAE:
             )
         else:
             reg = jnp.zeros(x.shape[0])
+
+        loss = beta_x * KL_x - alpha_x * R_x - alpha_c * R_c - alpha_y * R_y - reg
+        return loss, KL_x, KL_c, KL_y, R_x, R_c, R_y, reg
+
+    def _loss_mc_chunked(
+        self, params, key, x, c, y, n, beta_x, beta_c, beta_y,
+        alpha_x, alpha_c, alpha_y, grl_alpha,
+    ):
+        """MC-chunked ELBO: same math as ``loss``, decode scanned.
+
+        The encoder, its MC sampling, and the KL run once on the full MC
+        axis — latents are (n, batch, nz<=16), trivially small. Only the
+        decode (the (rows, width) MLPs holding all the bytes) and the
+        reconstruction sums scan over n/mc_chunk chunks; per-chunk sums
+        accumulate in the carry and divide by n at the end, which is the
+        same sum/n as ``jnp.mean`` up to summation order.
+        """
+        mc = self.mc_chunk
+        zx, zc, zy, dens_z, zx_in = self._encode_latents(
+            params, key, x, c, False, n
+        )
+
+        loc_c, tril_c, loc_y, tril_y = self.prior_net(params, c, y=y)
+        log_prior_zx = jnp.sum(self.prior_x.log_prob(zx), axis=-1)
+        log_prior_zc = mvn_log_prob(zc, loc_c, tril_c)
+        log_prior_zy = mvn_log_prob(zy, loc_y, tril_y)
+        log_prior_z = log_prior_zx + log_prior_zc + log_prior_zy
+        KL_x = jnp.mean(dens_z - log_prior_z, axis=0)
+        KL_c = jnp.zeros_like(KL_x)
+        KL_y = jnp.zeros_like(KL_x)
+
+        sigma_x = jnp.exp(params["log_sigma_x"])
+        n_batch = x.shape[0]
+        split = lambda t: t.reshape(n // mc, mc, *t.shape[1:])
+
+        def body(carry, latents):
+            zx_ch, zc_ch, zy_ch = latents
+            xh_p, xh_d, c_hat, log_sigma_c, yh, log_sigma_y = self.decode(
+                params, zx_ch, zc_ch, zy_ch, grl_alpha=grl_alpha
+            )
+            xh = xh_p + xh_d
+            s_Rx = jnp.sum(
+                jnp.sum(_normal_log_prob(x, xh, sigma_x), axis=-1), axis=0
+            )
+            s_Rc = jnp.sum(
+                jnp.sum(_normal_log_prob(c, c_hat, jnp.exp(log_sigma_c)), axis=-1),
+                axis=0,
+            )
+            s_Ry = jnp.sum(
+                jnp.sum(_normal_log_prob(y, yh, jnp.exp(log_sigma_y)), axis=-1),
+                axis=0,
+            )
+            if self.lambda_x is not None:
+                s_reg = jnp.sum(
+                    jnp.sum(_normal_log_prob(xh_d, 0.0, self.lambda_x), axis=-1),
+                    axis=0,
+                )
+            else:
+                s_reg = jnp.zeros(n_batch)
+            return tuple(
+                a + b for a, b in zip(carry, (s_Rx, s_Rc, s_Ry, s_reg))
+            ), None
+
+        init = tuple(jnp.zeros(n_batch) for _ in range(4))
+        (s_Rx, s_Rc, s_Ry, s_reg), _ = jax.lax.scan(
+            body, init, (split(zx_in), split(zc), split(zy))
+        )
+        R_x, R_c, R_y, reg = s_Rx / n, s_Rc / n, s_Ry / n, s_reg / n
 
         loss = beta_x * KL_x - alpha_x * R_x - alpha_c * R_c - alpha_y * R_y - reg
         return loss, KL_x, KL_c, KL_y, R_x, R_c, R_y, reg

@@ -115,8 +115,13 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         # measured on one case family on the device generation pinned in
         # ops/pallas_mlp.py:_AUTO_DEVICE_KIND (auto_select falls back to
         # XLA, with a one-time warning, on a different TPU kind).
+        # mc_chunk shrinks the decode op the kernel would replace to
+        # (mc_chunk*n_batch) rows per scan step — resolve on that shape.
+        mc_rows = config.n_mc_train
+        if config.mc_chunk is not None:
+            mc_rows = min(mc_rows, config.mc_chunk)
         use_pallas = auto_select(
-            rows=config.n_mc_train * config.n_batch,
+            rows=mc_rows * config.n_batch,
             d_in=config.nz_c + config.nz_y,
             d_hidden=widths.get("decoder_x_hidden", 128),
             d_out=case.nd_x,
@@ -148,6 +153,7 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         use_pallas=bool(use_pallas),
         compute_dtype=config.compute_dtype,
         remat_decode=config.remat_decode,
+        mc_chunk=config.mc_chunk,
         **widths,
     )
 

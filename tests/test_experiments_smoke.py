@@ -61,6 +61,34 @@ def test_top_hlo_shapes_census():
     assert "f32[16,16]" not in rows
 
 
+def test_merge_results_unions_arms_and_recomputes_speedups():
+    """Arms-only reruns merge into the committed scaled_arms.json without
+    dropping rows; speedups re-anchor on the merged cell's f32 row."""
+    scaled_arms = _load("scaled_arms")
+    old = {"meta": {"n_iter": 500}, "cells": [
+        {"config": "w512_b1024_mc64",
+         "arms": {"f32": {"steps_per_sec": 100.0},
+                  "bf16": {"steps_per_sec": 150.0,
+                           "speedup_vs_f32": 1.5}}},
+        {"config": "w256_b1024_mc64", "arms": {"f32": {"steps_per_sec": 50.0}}},
+    ]}
+    new = {"meta": {"n_iter": 500, "fresh": True}, "cells": [
+        {"config": "w512_b1024_mc64",
+         "arms": {"f32": {"steps_per_sec": 110.0},
+                  "mc8": {"steps_per_sec": 220.0}}},
+    ]}
+    out = scaled_arms.merge_results(old, new)
+    assert out["meta"]["fresh"] is True
+    cells = {c["config"]: c for c in out["cells"]}
+    assert set(cells) == {"w512_b1024_mc64", "w256_b1024_mc64"}
+    arms = cells["w512_b1024_mc64"]["arms"]
+    # union: kept bf16, replaced f32, added mc8; speedups re-anchored
+    assert set(arms) == {"f32", "bf16", "mc8"}
+    assert arms["f32"]["steps_per_sec"] == 110.0
+    assert arms["mc8"]["speedup_vs_f32"] == 2.0
+    assert arms["bf16"]["speedup_vs_f32"] == round(150.0 / 110.0, 3)
+
+
 @pytest.mark.slow
 def test_pallas_repeat_measure_one_tiny():
     """Both arms of the single-run repeat protocol compile and time at a
