@@ -27,10 +27,16 @@ they would not move if only the single-run path stayed healthy:
   headline/sweep/study numbers are all latency-bound reference-scale
   programs (MXU 0.5-1.9%); this cell certifies the scaled regime the
   round-4 study opened, which they cannot guard.
+- ``scale_roof_mc8_bf16_steps_per_sec``: the HBM-roof cell
+  (w512 × b1024 × mc64) with its measured counter-moves engaged
+  (``mc_chunk=8`` + ``compute_dtype="bfloat16"`` — 1.73× over the f32
+  unchunked arm; see benchmarks/results/scaled_arms.json). Certifies
+  the round-5 roof attack end-to-end.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
 "sweep_member_steps_per_sec", "sweep_vs_serial_cpu", "study_end_to_end_s",
-"study_speedup_vs_serial_cpu", "scale_w512_b256_mc16_steps_per_sec"}.
+"study_speedup_vs_serial_cpu", "scale_w512_b256_mc16_steps_per_sec",
+"scale_roof_mc8_bf16_steps_per_sec"}.
 """
 
 import json
@@ -114,11 +120,14 @@ def measure_study():
     return timings["total"] - timings.get("device_init", 0.0)
 
 
-def measure_scaled_cell(width=512, batch=256, mc=16, n_iter=500):
+def measure_scaled_cell(width=512, batch=256, mc=16, n_iter=500,
+                        **overrides):
     """Steady-state steps/s of the fused trainer at one MXU-loaded cell of
     the scaling grid (same protocol as scaling.json's train rows: compiled
     (1,1)-unroll program, warmup, best-of-3; the SHIPPING config — so
-    use_pallas='auto' resolves exactly as it would for a user)."""
+    use_pallas='auto' resolves exactly as it would for a user). Extra
+    keyword overrides land on TrainConfig.replace (e.g. mc_chunk,
+    compute_dtype for the roof cell)."""
     import importlib.util
 
     from dpivae_tpu.train.train import build_train_fn, make_train_key
@@ -139,7 +148,7 @@ def measure_scaled_cell(width=512, batch=256, mc=16, n_iter=500):
         .with_preset(base_case.presets["dpivae"])
         .replace(use_seed=True, patience=10**9, n_iter=n_iter,
                  hidden_width=width, n_batch=batch, n_mc_train=mc,
-                 n_train=max(1024, batch))
+                 n_train=max(1024, batch), **overrides)
     )
     with on_host_cpu():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -226,6 +235,8 @@ def main():
     # end-to-end wall time. Same process, so the chip stays attached.
     sweep_msps = measure_sweep()
     scaled_sps = measure_scaled_cell()
+    roof_sps = measure_scaled_cell(width=512, batch=1024, mc=64,
+                                   mc_chunk=8, compute_dtype="bfloat16")
     study_s = measure_study()
     serial_study_s = (
         SWEEP_N_MEMBERS * 20_000 / TORCH_CPU_BASELINE_STEPS_PER_SEC
@@ -249,6 +260,10 @@ def main():
         # arm at 4093.9 steps/s) — guards scaled shapes the latency-bound
         # numbers above cannot see
         "scale_w512_b256_mc16_steps_per_sec": round(scaled_sps, 1),
+        # the HBM-roof regime with its measured counter-moves engaged
+        # (scaled_arms.json committed 446.8 steps/s = 1.73x over the f32
+        # unchunked arm) — guards mc_chunk + compute_dtype end-to-end
+        "scale_roof_mc8_bf16_steps_per_sec": round(roof_sps, 1),
     }
 
 
