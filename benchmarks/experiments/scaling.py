@@ -335,7 +335,11 @@ def main():
     base_cfg = (
         TrainConfig()
         .with_preset(base_case.presets["dpivae"])
-        .replace(use_seed=True, patience=10**9, n_iter=args.n_iter)
+        .replace(use_seed=True, patience=10**9, n_iter=args.n_iter,
+                 # pin the single-shot decode: this experiment charts the
+                 # RAW residency cliff / arm deltas, so the mc_chunk="auto"
+                 # default (which engages past the cliff) must not fire here
+                 mc_chunk=None)
     )
     inner_len = base_cfg.val_freq - 1
 

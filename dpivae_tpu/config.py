@@ -151,12 +151,17 @@ class TrainConfig:
     # (docs/PERFORMANCE.md "The MC-axis collapse") is a VMEM residency
     # cliff — the (n_mc*n_batch, width) decode activations outgrow VMEM
     # and every matmul->matmul edge becomes an HBM round-trip. Chunking
-    # keeps the per-chunk working set resident. None (default) keeps the
-    # single-shot decode; when set it must divide n_mc_train and
+    # keeps the per-chunk working set resident. None keeps the
+    # single-shot decode; an int must divide n_mc_train and
     # n_mc_val (it chunks both the train and validation loss; forward/
     # sample/eval paths are untouched). Composes with compute_dtype and
-    # remat_decode.
-    mc_chunk: Optional[int] = None
+    # remat_decode. "auto" (default) chunks EXACTLY past the measured
+    # residency cliff — n_mc_train*n_batch*width >= 32M, where the
+    # chunked arm wins 1.31-1.55x and below which it loses 0.75x
+    # (benchmarks/results/scaled_arms.json) — and resolves to None at
+    # every reference shape and on TPU generations other than the one
+    # the cliff was measured on (train.setup resolve_mc_chunk).
+    mc_chunk: Any = "auto"
 
     def __post_init__(self):
         # use_pallas is tri-state; anything else (e.g. the string "false"
@@ -172,10 +177,14 @@ class TrainConfig:
                 f"compute_dtype must be None or 'bfloat16', got "
                 f"{self.compute_dtype!r}"
             )
-        if self.mc_chunk is not None:
-            if not isinstance(self.mc_chunk, int) or self.mc_chunk <= 0:
+        if self.mc_chunk is not None and self.mc_chunk != "auto":
+            # bool is an int subclass; True would silently mean chunk=1
+            # (a per-sample scan), which is never what a config meant.
+            if (not isinstance(self.mc_chunk, int)
+                    or isinstance(self.mc_chunk, bool)
+                    or self.mc_chunk <= 0):
                 raise ValueError(
-                    f"mc_chunk must be None or a positive int, got "
+                    f"mc_chunk must be None, a positive int or 'auto', got "
                     f"{self.mc_chunk!r}"
                 )
             for fname in ("n_mc_train", "n_mc_val"):

@@ -375,9 +375,22 @@ def _resolve_sweep_config(config: TrainConfig) -> TrainConfig:
     XLA path everywhere in this module — member builds, jit-cache keys,
     treedefs, exports, and the checkpoint manifest digest all see the
     same resolved config. Explicit ``use_pallas=True`` is honored as
-    everywhere else (that is the arm the experiment times)."""
+    everywhere else (that is the arm the experiment times).
+
+    ``mc_chunk="auto"`` resolves to None (single-shot decode) here for
+    the same reasons: the residency-cliff threshold behind auto
+    (train.setup.resolve_mc_chunk; benchmarks/results/scaled_arms.json)
+    was measured on the SINGLE-RUN train program — under vmap the member
+    axis multiplies the decode working set and inserts a batch dim over
+    the chunk scan, a regime nobody has measured — and the checkpoint
+    manifest digests this resolved config, so the "auto" default must
+    hash identically to the pre-auto None and orphan no existing chunk
+    dirs. Explicit integer ``mc_chunk`` is honored (it is exact; see
+    tests/test_mc_chunk.py)."""
     if config.use_pallas == "auto":
         config = config.replace(use_pallas=False)
+    if config.mc_chunk == "auto":
+        config = config.replace(mc_chunk=None)
     return config
 
 

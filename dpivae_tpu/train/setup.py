@@ -25,6 +25,84 @@ from dpivae_tpu.utils.transforms import (
 )
 
 
+# Measured decision boundary for ``mc_chunk="auto"``
+# (benchmarks/experiments/scaled_arms.py; committed data in
+# benchmarks/results/scaled_arms.json, TPU v5e 2026-08-20). The mc64
+# collapse is a VMEM residency cliff: once the loss's single-shot decode
+# working set (n_mc_train*n_batch rows x width) outgrows VMEM, every
+# matmul->matmul edge becomes an HBM round-trip (docs/PERFORMANCE.md
+# "The MC-axis collapse"). Chunk-scanning the decode (exact mean-of-sums
+# reassociation, loss+grad equality pinned by tests/test_mc_chunk.py)
+# wins exactly past the cliff and LOSES below it, where the scan only
+# adds serialization:
+#   w512_b1024_mc64 (rows*width = 32M, exactly this threshold): mc8 1.31x
+#   w1024_b1024_mc64 (67M): mc8 1.55x
+#   w256_b1024_mc64 (16.8M): mc8 0.75x  -> below threshold, stay single-shot
+# mc8 ~= mc16 everywhere measured (within 2%); auto picks 8 (more VMEM
+# headroom as widths grow), falling back to the largest divisor <= 8 of
+# both MC counts. The cliff is a property of THIS generation's VMEM size
+# and compiler, so on a different TPU device_kind auto warns once and
+# keeps the single-shot decode (non-TPU backends pass through: chunking
+# is exact and the tiny CPU test shapes never reach the threshold).
+_MC_AUTO_MIN_ROWS_X_WIDTH = 32 * 1024 * 1024
+_MC_AUTO_CHUNK = 8
+_MC_AUTO_DEVICE_KIND = "TPU v5 lite"
+_mc_warned_device_kind: set = set()
+
+
+def _mc_device_kind_matches() -> bool:
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return True
+    kind = _jax.devices()[0].device_kind
+    if kind == _MC_AUTO_DEVICE_KIND:
+        return True
+    if kind not in _mc_warned_device_kind:
+        _mc_warned_device_kind.add(kind)
+        import warnings
+
+        warnings.warn(
+            f"mc_chunk='auto': the residency-cliff threshold was measured "
+            f"on {_MC_AUTO_DEVICE_KIND!r} but this device is {kind!r}; "
+            f"keeping the single-shot decode. Re-run "
+            f"benchmarks/experiments/scaled_arms.py on this device and "
+            f"update train/setup.py's _MC_AUTO_* constants (or set an "
+            f"explicit integer mc_chunk) if chunking wins here."
+        )
+    return False
+
+
+def resolve_mc_chunk(config: TrainConfig, d_hidden: int):
+    """Resolve ``mc_chunk="auto"`` to a concrete chunk size or None.
+
+    Chunks only when the TRAINING loss's decode working set
+    (``n_mc_train * n_batch`` rows x ``d_hidden``) is at or past the
+    measured VMEM residency cliff (module constants above; the chunked
+    arm is measured SLOWER below it). The chunk must divide both MC
+    counts — the model's one ``mc_chunk`` also scans the validation
+    loss (exact there too; the threshold is anchored to the measured
+    train-step arms). Returns ``config.mc_chunk`` unchanged when it is
+    already None or an explicit int.
+    """
+    if config.mc_chunk != "auto":
+        return config.mc_chunk
+    rows_x_width = config.n_mc_train * config.n_batch * d_hidden
+    if rows_x_width < _MC_AUTO_MIN_ROWS_X_WIDTH:
+        return None
+    if not _mc_device_kind_matches():
+        return None
+    for c in range(_MC_AUTO_CHUNK, 1, -1):
+        if c >= config.n_mc_train:
+            continue  # would not chunk the train loss at all
+        if config.n_mc_train % c:
+            continue
+        if config.n_mc_val > c and config.n_mc_val % c:
+            continue  # must also scan the val loss in equal chunks
+        return c
+    return None
+
+
 def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
     """Assemble the DPIVAE model configuration.
 
@@ -96,6 +174,11 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
             decoder_x_hidden=w,
         )
 
+    # Resolve mc_chunk BEFORE use_pallas: chunking shrinks the decode op
+    # the kernel would replace, so the pallas band is consulted on the
+    # per-chunk row count below.
+    mc_chunk = resolve_mc_chunk(config, widths.get("decoder_x_hidden", 128))
+
     use_pallas = config.use_pallas
     if use_pallas == "auto" and config.compute_dtype is not None:
         # The kernel's win band and parity contract were measured in f32;
@@ -116,10 +199,11 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         # ops/pallas_mlp.py:_AUTO_DEVICE_KIND (auto_select falls back to
         # XLA, with a one-time warning, on a different TPU kind).
         # mc_chunk shrinks the decode op the kernel would replace to
-        # (mc_chunk*n_batch) rows per scan step — resolve on that shape.
+        # (mc_chunk*n_batch) rows per scan step — resolve on that shape
+        # (the RESOLVED chunk, so "auto" chunking and the band compose).
         mc_rows = config.n_mc_train
-        if config.mc_chunk is not None:
-            mc_rows = min(mc_rows, config.mc_chunk)
+        if mc_chunk is not None:
+            mc_rows = min(mc_rows, mc_chunk)
         use_pallas = auto_select(
             rows=mc_rows * config.n_batch,
             d_in=config.nz_c + config.nz_y,
@@ -153,7 +237,7 @@ def setup_model(config: TrainConfig, case: Case, data_train) -> DPIVAE:
         use_pallas=bool(use_pallas),
         compute_dtype=config.compute_dtype,
         remat_decode=config.remat_decode,
-        mc_chunk=config.mc_chunk,
+        mc_chunk=mc_chunk,
         **widths,
     )
 

@@ -76,7 +76,7 @@ _GRAD_RTOL = 2e-4
 
 
 class TestConfigValidation:
-    @pytest.mark.parametrize("bad", [0, -2, "4", 2.0])
+    @pytest.mark.parametrize("bad", [0, -2, "4", 2.0, "Auto", "none", True])
     def test_non_positive_or_non_int_raises(self, bad):
         with pytest.raises(ValueError, match="mc_chunk"):
             TrainConfig(mc_chunk=bad)
@@ -148,6 +148,109 @@ class TestExactness:
         x, c, y = (jnp.asarray(a[:8]) for a in dtr[:3])
         with pytest.raises(ValueError, match="mc_chunk"):
             model.loss(params, jax.random.PRNGKey(2), x, c, y, n=6)
+
+
+class TestAutoResolve:
+    """mc_chunk="auto" (the default) resolves via the measured VMEM
+    residency-cliff boundary (train.setup.resolve_mc_chunk): chunk with 8
+    (or the largest divisor <= 8 of both MC counts) exactly when
+    n_mc_train*n_batch*width >= 32M, None everywhere below — in
+    particular at every reference shape — and None on a TPU generation
+    other than the one the cliff was measured on."""
+
+    def _resolve(self, **kw):
+        from dpivae_tpu.train.setup import resolve_mc_chunk
+
+        width = kw.pop("width", 512)
+        return resolve_mc_chunk(TrainConfig(**kw), width)
+
+    def test_default_is_auto(self):
+        assert TrainConfig().mc_chunk == "auto"
+
+    def test_reference_shapes_resolve_none(self):
+        # 16*64*128 = 131k rows*width — three orders below the cliff
+        assert self._resolve(width=128) is None
+
+    def test_past_cliff_resolves_chunk8(self):
+        # w512_b1024_mc64 = exactly the 32M threshold cell (measured
+        # mc8 1.31x there; benchmarks/results/scaled_arms.json)
+        assert self._resolve(n_mc_train=64, n_batch=1024,
+                             n_mc_val=64) == 8
+
+    def test_below_cliff_stays_single_shot(self):
+        # w256_b1024_mc64 = 16.8M: the chunked arm measured 0.75x there
+        assert self._resolve(n_mc_train=64, n_batch=1024, n_mc_val=64,
+                             width=256) is None
+
+    def test_divisor_fallback(self):
+        # 8 does not divide n_mc_train=12 -> largest divisor <= 8 is 6
+        assert self._resolve(n_mc_train=12, n_batch=8192,
+                             n_mc_val=12) == 6
+
+    def test_val_divisibility_constrains(self):
+        # n_mc_val=20 rejects 8 (20 % 8), falls to 4 (64 % 4 == 20 % 4 == 0)
+        assert self._resolve(n_mc_train=64, n_batch=1024,
+                             n_mc_val=20) == 4
+
+    def test_small_val_count_is_exempt(self):
+        # n_mc_val <= chunk: the val loss runs single-shot (mc_chunk >= n
+        # is a no-op in the model), so it does not constrain the choice
+        assert self._resolve(n_mc_train=64, n_batch=1024,
+                             n_mc_val=4) == 8
+
+    def test_explicit_values_pass_through(self):
+        assert self._resolve(mc_chunk=None, n_mc_train=64,
+                             n_batch=1024) is None
+        assert self._resolve(mc_chunk=16, n_mc_train=64, n_mc_val=64,
+                             n_batch=1024) == 16
+
+    def test_other_tpu_kind_warns_and_stays_single_shot(self, monkeypatch):
+        from dpivae_tpu.train import setup as setup_mod
+
+        class _FakeDev:
+            device_kind = "TPU v6 lite"
+
+        # the guard does `import jax` at call time, so patch jax itself
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "devices", lambda: [_FakeDev()])
+        monkeypatch.setattr(setup_mod, "_mc_warned_device_kind", set())
+        with pytest.warns(UserWarning, match="TPU v6 lite"):
+            got = self._resolve(n_mc_train=64, n_batch=1024, n_mc_val=64)
+        assert got is None
+        # second resolve: warned once, still single-shot, no new warning
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert self._resolve(n_mc_train=64, n_batch=1024,
+                                 n_mc_val=64) is None
+
+    def test_setup_model_resolves_auto(self, beam_setup):
+        # end-to-end: the default config (mc_chunk="auto") builds a model
+        # with the single-shot decode at reference shapes
+        case, cfg, dtr, _ = beam_setup
+        assert cfg.mc_chunk == "auto"
+        assert setup_model(cfg, case, dtr).mc_chunk is None
+
+    def test_setup_model_chunks_past_cliff(self, beam_setup):
+        # w512_b1024_mc64 (the 32M threshold cell): the built model
+        # carries the auto-resolved chunk (setup only assembles config,
+        # so the big shapes are never materialized here)
+        case, cfg, dtr, _ = beam_setup
+        cfg = cfg.replace(n_batch=1024, n_mc_train=64, n_mc_val=64,
+                          n_train=1024, hidden_width=512)
+        assert setup_model(cfg, case, dtr).mc_chunk == 8
+
+    def test_sweep_resolver_pins_single_shot(self):
+        # the vmapped member program is an unmeasured regime and the
+        # checkpoint manifest digests the resolved config -> auto must
+        # hash identically to the pre-auto None default
+        from dpivae_tpu.sweep.sweep import _resolve_sweep_config
+
+        assert _resolve_sweep_config(TrainConfig()).mc_chunk is None
+        assert _resolve_sweep_config(
+            TrainConfig(mc_chunk=8, n_mc_train=16, n_mc_val=64)
+        ).mc_chunk == 8
 
 
 def test_auto_pallas_resolves_on_chunked_rows(beam_setup):
