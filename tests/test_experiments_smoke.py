@@ -1,6 +1,6 @@
 """Bit-rot guards for the round-4/5 measurement scripts.
 
-benchmarks/experiments/{scaled_arms,pallas_repeat,sweep_pallas}.py back
+benchmarks/experiments/{scaled_arms,pallas_repeat,sweep_pallas,sweep_mc_chunk}.py back
 committed performance claims (docs/PERFORMANCE.md "Attacking the roof" /
 "The Pallas verdict") and are rerun rarely, on real TPU hardware — an API
 drift would otherwise surface only mid-way through a 45-minute TPU run.
@@ -133,3 +133,31 @@ def test_sweep_pallas_measure_cell_tiny():
         assert row[f"{arm}_member_steps_per_sec"] > 0
         assert row[f"{arm}_compile_s"] >= 0
     assert row["pallas_speedup"] > 0
+
+
+@pytest.mark.slow
+def test_sweep_mc_chunk_measure_cell_tiny():
+    """All three mc_chunk arms of the vmapped chunk program compile and
+    time at a 2-member tiny cell (chunk8 degenerates to a length-1 scan
+    at n_mc=8 — the plumbing, not the cliff, is what's guarded); the row
+    carries the keys sweep_mc_chunk.json's resolver rule rests on."""
+    from dpivae_tpu.cases import get_case
+    from dpivae_tpu.config import TrainConfig
+
+    sweep_mc_chunk = _load("sweep_mc_chunk")
+    case = get_case("damped_oscillator")
+    base_cfg = (
+        TrainConfig()
+        .with_preset(case.presets["dpivae"])
+        .replace(use_seed=True, patience=10**9, n_train=64, n_val=32,
+                 n_mc_val=8)
+    )
+    row = sweep_mc_chunk.measure_cell(
+        case, base_cfg, "tiny", (2, 8, 8, 0), n_iter=2)
+    assert row["cell"] == "tiny" and row["hidden_width"] is None
+    assert row["members"] == 2 and row["rows_per_member"] == 64
+    for arm in ("single", "chunk8", "chunk8_bf16"):
+        assert row[f"{arm}_member_steps_per_sec"] > 0
+        assert row[f"{arm}_compile_s"] >= 0
+    assert row["chunk8_speedup"] > 0
+    assert row["chunk8_bf16_speedup"] > 0
