@@ -160,7 +160,10 @@ class TrainConfig:
     # chunked arm wins 1.31-1.55x and below which it loses 0.75x
     # (benchmarks/results/scaled_arms.json) — and resolves to None at
     # every reference shape and on TPU generations other than the one
-    # the cliff was measured on (train.setup resolve_mc_chunk).
+    # the cliff was measured on (train.setup resolve_mc_chunk). Sweep
+    # trainers apply the same boundary with the vmapped member count
+    # folded in (measured 1.48-1.81x past it, 0.73-0.82x below;
+    # benchmarks/results/sweep_mc_chunk.json).
     mc_chunk: Any = "auto"
 
     def __post_init__(self):

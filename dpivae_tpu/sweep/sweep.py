@@ -145,7 +145,6 @@ def train_hyper_sweep(
     Returns:
         HyperSweepResult ordered row-major over (grid row, run).
     """
-    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     fields = tuple(sorted(grid))
@@ -185,6 +184,9 @@ def train_hyper_sweep(
                 "(non-mesh) path — the mesh path runs as one sharded "
                 "program with no chunks"
             )
+        # members=None: the per-device decode working set under member/dp
+        # sharding is an unmeasured regime — mc_chunk stays single-shot.
+        config = _resolve_sweep_config(config)
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
         sharding = NamedSharding(mesh, P(member_axis))
         # Cache the JITTED wrapper (not just the vmap): a per-call
@@ -219,6 +221,16 @@ def train_hyper_sweep(
             logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
         return HyperSweepResult(params, logs, grid_out, lam_m, keys)
 
+    if chunk_size == "auto":
+        chunk_size = auto_chunk_size(n_members, config.n_iter, config)
+    elif chunk_size is not None:
+        _warn_if_over_budget(chunk_size, config.n_iter, config)
+    # Resolve on the per-program vmapped member count (the chunk size) —
+    # BEFORE anything keyed on config (jit cache, AOT keys, manifest
+    # digest, treedef) so every consumer sees the same concrete mc_chunk.
+    config = _resolve_sweep_config(
+        config, members=min(chunk_size or n_members, n_members))
+
     def build():
         member = build_member_fn(config, case, hyper_fields=fields)
         return jax.jit(jax.vmap(member))
@@ -227,10 +239,6 @@ def train_hyper_sweep(
         ("train_hyper_sweep", config, case.fingerprint(), fields), build
     )
 
-    if chunk_size == "auto":
-        chunk_size = auto_chunk_size(n_members, config.n_iter, config)
-    elif chunk_size is not None:
-        _warn_if_over_budget(chunk_size, config.n_iter, config)
     if (
         (chunk_size is None or chunk_size >= n_members)
         and checkpoint_dir is None
@@ -360,7 +368,9 @@ def export_member_predictor(
     return save_predictor(path, model, params, cfg_i, case, **export_kwargs)
 
 
-def _resolve_sweep_config(config: TrainConfig) -> TrainConfig:
+def _resolve_sweep_config(
+    config: TrainConfig, members: Optional[int] = None
+) -> TrainConfig:
     """Resolve ``use_pallas="auto"`` to the XLA path for sweep programs.
 
     MEASURED (benchmarks/experiments/sweep_pallas.py; committed data in
@@ -377,20 +387,43 @@ def _resolve_sweep_config(config: TrainConfig) -> TrainConfig:
     same resolved config. Explicit ``use_pallas=True`` is honored as
     everywhere else (that is the arm the experiment times).
 
-    ``mc_chunk="auto"`` resolves to None (single-shot decode) here for
-    the same reasons: the residency-cliff threshold behind auto
-    (train.setup.resolve_mc_chunk; benchmarks/results/scaled_arms.json)
-    was measured on the SINGLE-RUN train program — under vmap the member
-    axis multiplies the decode working set and inserts a batch dim over
-    the chunk scan, a regime nobody has measured — and the checkpoint
-    manifest digests this resolved config, so the "auto" default must
-    hash identically to the pre-auto None and orphan no existing chunk
-    dirs. Explicit integer ``mc_chunk`` is honored (it is exact; see
+    ``mc_chunk="auto"`` resolves via the measured VMEM-cliff boundary
+    with the vmapped member count folded in (MEASURED:
+    benchmarks/experiments/sweep_mc_chunk.py timing the actual
+    ``jax.vmap(build_member_fn)`` chunk program, committed in
+    benchmarks/results/sweep_mc_chunk.json, v5e 2026-08-20 — the
+    member axis multiplies the decode working set, so the single-run
+    32M-element threshold transfers once ``members`` is counted in:
+    members*rows*width of 1.4M/22M total runs chunk8 at 0.80-0.82x/0.73x
+    [pure scan overhead below the cliff], 44M at 1.48x, 128M at 1.81x).
+    The trainer entry points pass ``members`` = the per-program vmapped
+    member count (the resolved chunk size) AFTER resolving it, then hand
+    the concrete config to every downstream consumer — member builds,
+    jit-cache keys, treedefs, exports, and the checkpoint manifest
+    digest all see the same resolved value, and the digest identifies
+    the float program that actually trained (chunked and single-shot
+    decodes are an exact reassociation but not bitwise-identical
+    floats). With ``members=None`` (the default: standalone
+    build_member_fn, the mesh paths — per-device working sets under
+    member/dp sharding are unmeasured — exports, eval/sample helpers,
+    digest recomputation of an already-concrete config) "auto" resolves
+    to None, exactly the pre-measurement behavior. Reference-shape
+    sweeps sit ~20x below the boundary either way, so their manifest
+    digests are unchanged and no existing chunk dir is orphaned.
+    Explicit integer ``mc_chunk`` is honored (it is exact; see
     tests/test_mc_chunk.py)."""
     if config.use_pallas == "auto":
         config = config.replace(use_pallas=False)
     if config.mc_chunk == "auto":
-        config = config.replace(mc_chunk=None)
+        if members is None:
+            config = config.replace(mc_chunk=None)
+        else:
+            from dpivae_tpu.train.setup import resolve_mc_chunk
+
+            d_hidden = (int(config.hidden_width)
+                        if config.hidden_width is not None else 128)
+            config = config.replace(mc_chunk=resolve_mc_chunk(
+                config, d_hidden, member_factor=int(members)))
     return config
 
 
@@ -1073,7 +1106,6 @@ def train_sweep(
         SweepResult with leading member axis ordered λ-major
         (member = i_lambda * n_runs + i_run).
     """
-    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     # Member grid bookkeeping is host work (the chunk loop slices keys and
@@ -1109,6 +1141,9 @@ def train_sweep(
         # shards over it via build_train_fn's dp constraints — the vmapped
         # member axis is named via spmd_axis_name so the two shardings
         # compose instead of conflicting.
+        # members=None: the per-device decode working set under member/dp
+        # sharding is an unmeasured regime — mc_chunk stays single-shot.
+        config = _resolve_sweep_config(config)
         use_dp = "dp" in mesh.axis_names and mesh.shape["dp"] > 1
         sharding = NamedSharding(mesh, P(member_axis))
         # Cache the JITTED wrapper (not just the vmap): a per-call
@@ -1140,14 +1175,19 @@ def train_sweep(
             logs = TrainLogs(*jax.tree.map(trim, tuple(logs)))
         return SweepResult(params=params, logs=logs, lambdas=lambdas, keys=keys)
 
-    batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep", config, case.fingerprint()),
-        lambda: jax.jit(jax.vmap(build_member_fn(config, case))),
-    )
     if chunk_size == "auto":
         chunk_size = auto_chunk_size(n_members, config.n_iter, config)
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
+    # Resolve on the per-program vmapped member count (the chunk size) —
+    # BEFORE anything keyed on config (jit cache, AOT keys, manifest
+    # digest, treedef) so every consumer sees the same concrete mc_chunk.
+    config = _resolve_sweep_config(
+        config, members=min(chunk_size or n_members, n_members))
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_sweep", config, case.fingerprint()),
+        lambda: jax.jit(jax.vmap(build_member_fn(config, case))),
+    )
     if (
         (chunk_size is None or chunk_size >= n_members)
         and checkpoint_dir is None
@@ -1488,7 +1528,6 @@ def train_sweep_data(
     digest covers the per-member datasets too, so swapping datasets never
     resumes foreign chunks).
     """
-    config = _resolve_sweep_config(config)
     if gc_stale_chunks and checkpoint_dir is None:
         raise ValueError("gc_stale_chunks requires checkpoint_dir")
     lambdas = jnp.asarray(lambdas, jnp.float32)
@@ -1514,9 +1553,6 @@ def train_sweep_data(
 
         return jax.jit(jax.vmap(member))
 
-    batched = _SWEEP_JIT_CACHE.get(
-        ("train_sweep_data", config, case.fingerprint()), build
-    )
     if mesh is not None:
         if chunk_callback is not None or checkpoint_dir is not None:
             raise ValueError(
@@ -1524,6 +1560,12 @@ def train_sweep_data(
                 "(non-mesh) path — the mesh path runs as one sharded "
                 "program with no chunks"
             )
+        # members=None: the per-device decode working set under member
+        # sharding is an unmeasured regime — mc_chunk stays single-shot.
+        config = _resolve_sweep_config(config)
+        batched = _SWEEP_JIT_CACHE.get(
+            ("train_sweep_data", config, case.fingerprint()), build
+        )
         sharding = NamedSharding(mesh, P(member_axis))
         if n_members % mesh.shape[member_axis]:
             raise ValueError(
@@ -1543,6 +1585,14 @@ def train_sweep_data(
         chunk_size = auto_chunk_size(n_members, config.n_iter, config)
     elif chunk_size is not None:
         _warn_if_over_budget(chunk_size, config.n_iter, config)
+    # Resolve on the per-program vmapped member count (the chunk size) —
+    # BEFORE anything keyed on config (jit cache, AOT keys, manifest
+    # digest, treedef) so every consumer sees the same concrete mc_chunk.
+    config = _resolve_sweep_config(
+        config, members=min(chunk_size or n_members, n_members))
+    batched = _SWEEP_JIT_CACHE.get(
+        ("train_sweep_data", config, case.fingerprint()), build
+    )
     if (
         (chunk_size is None or chunk_size >= n_members)
         and checkpoint_dir is None

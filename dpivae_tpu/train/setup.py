@@ -73,7 +73,8 @@ def _mc_device_kind_matches() -> bool:
     return False
 
 
-def resolve_mc_chunk(config: TrainConfig, d_hidden: int):
+def resolve_mc_chunk(config: TrainConfig, d_hidden: int,
+                     member_factor: int = 1):
     """Resolve ``mc_chunk="auto"`` to a concrete chunk size or None.
 
     Chunks only when the TRAINING loss's decode working set
@@ -84,10 +85,19 @@ def resolve_mc_chunk(config: TrainConfig, d_hidden: int):
     loss (exact there too; the threshold is anchored to the measured
     train-step arms). Returns ``config.mc_chunk`` unchanged when it is
     already None or an explicit int.
+
+    ``member_factor`` counts an extra leading vmapped batch dim that
+    multiplies the decode working set — the member count of a sweep
+    chunk program (``sweep._resolve_sweep_config`` passes it). MEASURED
+    (benchmarks/experiments/sweep_mc_chunk.py, v5e 2026-08-20): the
+    same 32M-element boundary transfers to the vmapped regime once
+    members are counted in — members*rows*width of 22M runs chunk8 at
+    0.73x (overhead), 44M at 1.48x, 128M at 1.81x.
     """
     if config.mc_chunk != "auto":
         return config.mc_chunk
-    rows_x_width = config.n_mc_train * config.n_batch * d_hidden
+    rows_x_width = (member_factor * config.n_mc_train * config.n_batch
+                    * d_hidden)
     if rows_x_width < _MC_AUTO_MIN_ROWS_X_WIDTH:
         return None
     if not _mc_device_kind_matches():

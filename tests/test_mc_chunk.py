@@ -241,15 +241,29 @@ class TestAutoResolve:
                           n_train=1024, hidden_width=512)
         assert setup_model(cfg, case, dtr).mc_chunk == 8
 
-    def test_sweep_resolver_pins_single_shot(self):
-        # the vmapped member program is an unmeasured regime and the
-        # checkpoint manifest digests the resolved config -> auto must
-        # hash identically to the pre-auto None default
+    def test_sweep_resolver_members_aware_boundary(self):
+        # The vmapped regime is MEASURED (benchmarks/results/
+        # sweep_mc_chunk.json): the 32M-element boundary transfers once
+        # the per-program member count multiplies the working set —
+        # 11 members x mc64 x b64 x w512 = 22M total ran chunk8 at 0.73x
+        # (stay single-shot), 11 x mc64 x b128 x w512 = 44M at 1.48x
+        # (chunk). members=None (exports, mesh paths, standalone
+        # build_member_fn) keeps the pre-measurement None resolution, so
+        # reference-shape manifest digests are unchanged.
         from dpivae_tpu.sweep.sweep import _resolve_sweep_config
 
         assert _resolve_sweep_config(TrainConfig()).mc_chunk is None
+        assert _resolve_sweep_config(TrainConfig(), members=11).mc_chunk \
+            is None  # reference shape: 11*16*64*128 = 1.4M, ~20x below
+        scaled = TrainConfig(n_mc_train=64, n_batch=128, n_mc_val=64,
+                             hidden_width=512)
+        assert _resolve_sweep_config(scaled).mc_chunk is None
+        assert _resolve_sweep_config(scaled, members=11).mc_chunk == 8
+        edge = scaled.replace(n_batch=64)  # 22M: measured 0.73x
+        assert _resolve_sweep_config(edge, members=11).mc_chunk is None
+        # explicit values pass through untouched either way
         assert _resolve_sweep_config(
-            TrainConfig(mc_chunk=8, n_mc_train=16, n_mc_val=64)
+            TrainConfig(mc_chunk=8, n_mc_train=16, n_mc_val=64), members=11
         ).mc_chunk == 8
 
 

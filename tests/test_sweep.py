@@ -437,6 +437,34 @@ def test_train_sweep_auto_chunk_matches_explicit():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_train_sweep_auto_mc_chunk_past_boundary(monkeypatch):
+    """With the VMEM-cliff boundary monkeypatched to 1 element, a sweep's
+    mc_chunk="auto" resolves to the chunked decode (the vmapped member
+    count folds into the working set — benchmarks/results/
+    sweep_mc_chunk.json) and trains bit-identically to an explicit
+    mc_chunk sweep: after resolution the configs are EQUAL, so they share
+    one jit-cache entry and one float program."""
+    from dpivae_tpu.sweep.sweep import _resolve_sweep_config
+    from dpivae_tpu.train import setup as setup_mod
+
+    monkeypatch.setattr(setup_mod, "_MC_AUTO_MIN_ROWS_X_WIDTH", 1)
+    case = get_case("simple_beam")
+    cfg = _cfg(case, n_mc_train=4, n_mc_val=4)
+    assert cfg.mc_chunk == "auto"
+    # largest divisor <= 8 of both MC counts that still chunks (< 4) is 2
+    assert _resolve_sweep_config(cfg, members=2).mc_chunk == 2
+    key = jax.random.PRNGKey(9)
+    res_auto = train_sweep(cfg, case, lambdas=[0.1, -0.5], n_runs=1,
+                           key=key, chunk_size=2)
+    res_expl = train_sweep(cfg.replace(mc_chunk=2), case,
+                           lambdas=[0.1, -0.5], n_runs=1, key=key,
+                           chunk_size=2)
+    for a, b in zip(jax.tree.leaves(res_auto.params),
+                    jax.tree.leaves(res_expl.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(res_auto.logs.train)))
+
+
 def test_sweep_checkpoint_stale_chunk_size_recomputes(tmp_path):
     """A checkpoint chunk written under a different chunk size must be
     recomputed, not concatenated into a misaligned member axis."""
